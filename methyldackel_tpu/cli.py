@@ -1,0 +1,449 @@
+"""Command-line interface: `methyldackel-tpu <extract|mbias|mergeContext|perRead>`.
+
+Option surface and observable behavior mirror the reference CLI
+(main.c:39-62 and the per-command getopt tables), including its C parsing
+quirks: -F/-R/-q/-p/... go through atoi (so "0xD00" parses as 0,
+tests/test.py:68), short -f/-c/-m consume (and ignore) an argument because
+of the optstring "f:c:m:" (extract.c:796), and --keepDupes clears 0x400 from
+ignoreFlags (extract.c:1005-1007).
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from . import __version__, REFERENCE_VERSION
+from .config import Config, c_atoi, c_atof, parse_bounds, perread_defaults
+from .engine import formats
+
+
+def print_version():
+    print(f"{REFERENCE_VERSION} (methyldackel_tpu {__version__})")
+
+
+# ----------------------------------------------------------------- getopt
+
+class GetoptError(Exception):
+    pass
+
+
+def getopt_long(args, optstring, longopts):
+    """A getopt_long work-alike (GNU permutation, long-option abbreviation).
+
+    Yields (opt, optarg) pairs; returns the positional arguments.
+    longopts: list of (name, has_arg, key).
+    """
+    short_has_arg = {}
+    i = 0
+    while i < len(optstring):
+        c = optstring[i]
+        has = i + 1 < len(optstring) and optstring[i + 1] == ":"
+        short_has_arg[c] = has
+        i += 2 if has else 1
+
+    out = []
+    positionals = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--":
+            positionals.extend(args[i + 1 :])
+            break
+        if a.startswith("--"):
+            name, eq, val = a[2:].partition("=")
+            matches = [lo for lo in longopts if lo[0] == name]
+            if not matches:
+                matches = [lo for lo in longopts if lo[0].startswith(name)]
+            if len(matches) != 1:
+                raise GetoptError(a)
+            lname, has_arg, key = matches[0]
+            if has_arg:
+                if eq:
+                    out.append((key, val))
+                else:
+                    i += 1
+                    if i >= len(args):
+                        raise GetoptError(a)
+                    out.append((key, args[i]))
+            else:
+                out.append((key, None))
+        elif a.startswith("-") and a != "-":
+            j = 1
+            while j < len(a):
+                c = a[j]
+                if c not in short_has_arg:
+                    raise GetoptError(a)
+                if short_has_arg[c]:
+                    if j + 1 < len(a):
+                        out.append((c, a[j + 1 :]))
+                    else:
+                        i += 1
+                        if i >= len(args):
+                            raise GetoptError(a)
+                        out.append((c, args[i]))
+                    break
+                out.append((c, None))
+                j += 1
+        else:
+            positionals.append(a)
+        i += 1
+    return out, positionals
+
+
+# ----------------------------------------------------------------- extract
+
+_EXTRACT_LOPTS = [
+    ("opref", 1, "o"), ("fraction", 0, "f!"), ("counts", 0, "c!"),
+    ("logit", 0, "m!"), ("minDepth", 1, "d"), ("noCpG", 0, 1), ("CHG", 0, 2),
+    ("CHH", 0, 3), ("keepDupes", 0, 4), ("keepSingleton", 0, 5),
+    ("keepDiscordant", 0, 6), ("OT", 1, 7), ("OB", 1, 8), ("CTOT", 1, 9),
+    ("CTOB", 1, 10), ("mergeContext", 0, 11), ("methylKit", 0, 12),
+    ("nOT", 1, 13), ("nOB", 1, 14), ("nCTOT", 1, 15), ("nCTOB", 1, 16),
+    ("minOppositeDepth", 1, 17), ("maxVariantFrac", 1, 18),
+    ("chunkSize", 1, 19), ("keepStrand", 0, 20), ("cytosine_report", 0, 21),
+    ("minConversionEfficiency", 1, 22), ("ignoreNH", 0, 23),
+    ("ignoreFlags", 1, "F"), ("requireFlags", 1, "R"), ("help", 0, "h"),
+    ("version", 0, "v"), ("mappability", 1, "M"),
+    ("mappabilityThreshold", 1, "t"), ("minMappableBases", 1, "b"),
+    ("outputBBMFile", 1, "O"), ("outputBBMFileName", 1, "N"),
+    ("mappabilityBBM", 1, "B"),
+]
+
+
+def extract_usage():
+    sys.stderr.write(
+        "\nUsage: methyldackel-tpu extract [OPTIONS] <ref.fa> <sorted_alignments.bam>\n\n"
+        "Extract per-cytosine methylation metrics from a coordinate-sorted,\n"
+        "indexed BAM of bisulfite alignments. Options match MethylDackel extract:\n"
+        " -q/-p/-d, -r region, -l BED (--keepStrand), -o prefix, -F/--ignoreFlags,\n"
+        " -R/--requireFlags, -@ threads, --chunkSize, --noCpG/--CHG/--CHH,\n"
+        " --mergeContext, --fraction/--counts/--logit/--methylKit/--cytosine_report,\n"
+        " --keepDupes/--keepSingleton/--keepDiscordant, --ignoreNH,\n"
+        " --minOppositeDepth/--maxVariantFrac, --minConversionEfficiency,\n"
+        " --OT/--OB/--CTOT/--CTOB and --nOT/--nOB/--nCTOT/--nCTOB trimming bounds,\n"
+        " -M bigWig / -B BBM mappability (-t threshold, -b min bases, -O/-N BBM out).\n"
+    )
+
+
+def extract_main(argv) -> int:
+    cfg = Config()
+    opref = None
+    try:
+        opts, pos = getopt_long(
+            argv, "hvq:p:r:l:o:D:f:c:m:d:F:R:@:M:t:b:ON:B:", _EXTRACT_LOPTS
+        )
+    except GetoptError as e:
+        sys.stderr.write(f"Invalid option '{e}'\n")
+        extract_usage()
+        return 1
+
+    for key, val in opts:
+        if key == "h":
+            extract_usage()
+            return 0
+        elif key == "v":
+            print_version()
+            return 0
+        elif key == "o":
+            opref = val
+        elif key == "D":
+            pass  # backward compatibility no-op
+        elif key == "d":
+            cfg.minDepth = c_atoi(val)
+            if cfg.minDepth < 1:
+                sys.stderr.write("Error, the minimum depth must be at least 1!\n")
+                return 1
+        elif key == "r":
+            cfg.reg = val
+        elif key == "l":
+            cfg.bedName = val
+        elif key == 1:
+            cfg.keepCpG = 0
+        elif key == 2:
+            cfg.keepCHG = 1
+        elif key == 3:
+            cfg.keepCHH = 1
+        elif key == 4:
+            cfg.keepDupes = 1
+        elif key == 5:
+            cfg.keepSingleton = 1
+        elif key == 6:
+            cfg.keepDiscordant = 1
+        elif key in (7, 8, 9, 10):
+            parse_bounds(val, cfg.bounds, key - 7)
+        elif key == 11:
+            cfg.merge = 1
+        elif key == 12:
+            cfg.methylKit = 1
+        elif key in (13, 14, 15, 16):
+            parse_bounds(val, cfg.absoluteBounds, key - 13)
+        elif key == 17:
+            cfg.minOppositeDepth = c_atoi(val)
+        elif key == 18:
+            cfg.maxVariantFrac = c_atof(val)
+        elif key == 19:
+            cfg.chunkSize = c_atoi(val)
+            if cfg.chunkSize < 1:
+                sys.stderr.write("Error: The chunk size must be at least 1!\n")
+                return 1
+        elif key == 20:
+            cfg.keepStrand = 1
+        elif key == 21:
+            cfg.cytosine_report = 1
+        elif key == 22:
+            cfg.minConversionEfficiency = c_atof(val)
+        elif key == 23:
+            cfg.ignoreNH = 1
+        elif key == "M":
+            cfg.BWName = val
+        elif key == "t":
+            cfg.mappabilityCutoff = c_atof(val)
+        elif key == "b":
+            cfg.minMappableBases = c_atoi(val)
+        elif key == "O":
+            cfg.outBBMName = None
+            cfg.outputBB = 1
+        elif key == "N":
+            cfg.outBBMName = val + ".bbm"
+            cfg.outputBB = 1
+        elif key == "B":
+            cfg.BBMName = val
+        elif key == "F":
+            cfg.ignoreFlags = c_atoi(val)
+        elif key == "R":
+            cfg.requireFlags = c_atoi(val)
+        elif key == "q":
+            cfg.minMapq = c_atoi(val)
+        elif key == "p":
+            cfg.minPhred = c_atoi(val)
+        elif key == "m!":
+            cfg.logit = 1
+        elif key == "f!":
+            cfg.fraction = 1
+        elif key == "c!":
+            cfg.counts = 1
+        elif key in ("m", "f", "c"):
+            # short forms consume an (ignored) argument, optstring quirk
+            if key == "m":
+                cfg.logit = 1
+            elif key == "f":
+                cfg.fraction = 1
+            else:
+                cfg.counts = 1
+        elif key == "@":
+            cfg.nThreads = c_atoi(val)
+
+    if cfg.outputBB and not cfg.outBBMName and cfg.BWName:
+        base = cfg.BWName.rsplit(".", 1)[0] if "." in cfg.BWName else cfg.BWName
+        cfg.outBBMName = base + ".bbm"
+    if cfg.outputBB and not cfg.BWName:
+        sys.stderr.write(
+            "You must specify a bigWig file when attempting to create a BBM file!\n"
+        )
+        extract_usage()
+        return -1
+    if not argv:
+        extract_usage()
+        return 0
+    if len(pos) < 2:
+        if cfg.outputBB:
+            cfg.noBAM = 1
+        else:
+            sys.stderr.write(
+                "You must supply a reference genome in fasta format and an input BAM file!!!\n"
+            )
+            extract_usage()
+            return -1
+
+    # Option sanity (extract.c:997-1034)
+    if cfg.minPhred < 1:
+        sys.stderr.write(
+            f"-p {cfg.minPhred} is invalid. resetting to 1, which is the lowest possible value.\n"
+        )
+        cfg.minPhred = 1
+    if cfg.minMapq < 0:
+        sys.stderr.write(
+            f"-q {cfg.minMapq} is invalid. Resetting to 0, which is the lowest possible value.\n"
+        )
+        cfg.minMapq = 0
+    if cfg.keepDupes > 0 and (cfg.ignoreFlags & 0x400):
+        cfg.ignoreFlags -= 0x400
+    if cfg.fraction + cfg.counts + cfg.logit + cfg.methylKit + cfg.cytosine_report > 1:
+        sys.stderr.write(
+            "More than one of --fraction, --counts, --methylKit, --cytosine_report "
+            "and --logit were specified. These are mutually exclusive.\n"
+        )
+        extract_usage()
+        return 1
+    if cfg.methylKit + cfg.merge == 2:
+        sys.stderr.write("--mergeContext and --methylKit are mutually exclusive.\n")
+        extract_usage()
+        return 1
+    if cfg.cytosine_report + cfg.merge == 2:
+        sys.stderr.write("--mergeContext and --cytosine_report are mutually exclusive.\n")
+        extract_usage()
+        return 1
+    if not (cfg.keepCpG + cfg.keepCHG + cfg.keepCHH):
+        sys.stderr.write(
+            "You haven't specified any metrics to output!\nEither don't use the "
+            "--noCpG option or specify --CHG and/or --CHH.\n"
+        )
+        return -1
+
+    if not cfg.noBAM:
+        cfg.FastaName = pos[0]
+        cfg.BAMName = pos[1]
+
+    # Mappability: bigWig load (+ optional BBM write) or BBM load
+    if cfg.BWName:
+        rc = _load_bigwig_mappability(cfg)
+        if rc is not None:
+            return rc
+        if cfg.noBAM:
+            return 0
+    if cfg.BBMName:
+        rc = _load_bbm_mappability(cfg)
+        if rc is not None:
+            return rc
+
+    # Output files
+    if opref is None:
+        opref = pos[1].rsplit(".", 1)[0] if "." in pos[1] else pos[1]
+        sys.stderr.write(f"writing to prefix:'{opref}'\n")
+    streams = [None, None, None]
+    opened = []
+    if cfg.cytosine_report:
+        f = open(formats.output_name(cfg, opref, ""), "w")
+        streams = [f, f, f]
+        opened.append(f)
+    else:
+        for slot, (keep, ctx) in enumerate(
+            [(cfg.keepCpG, "CpG"), (cfg.keepCHG, "CHG"), (cfg.keepCHH, "CHH")]
+        ):
+            if not keep:
+                continue
+            f = open(formats.output_name(cfg, opref, ctx), "w")
+            if cfg.methylKit:
+                f.write(formats.METHYLKIT_HEADER)
+            else:
+                f.write(formats.header_line(cfg, ctx, opref))
+            streams[slot] = f
+            opened.append(f)
+
+    from .engine.extract import run_extract
+    from .parallel import select_backend
+
+    backend = select_backend(cfg)
+    n_variant = run_extract(cfg, streams, compute_backend=backend)
+    for f in opened:
+        f.close()
+    if n_variant:
+        print(f"{n_variant} positions were excluded due to likely being variants.")
+    return 0
+
+
+def _load_bigwig_mappability(cfg):
+    from .io.bigwig import BigWigFile
+    from .io.bbm import quantize, write_bbm
+
+    try:
+        bw = BigWigFile(cfg.BWName)
+    except (OSError, ValueError):
+        sys.stderr.write(f"Couldn't open {cfg.BWName} for reading!\n")
+        return -4
+    cfg.filterMappability = 1
+    sys.stderr.write(f"loading mappability data from {cfg.BWName}\n")
+    cutoff = int(cfg.mappabilityCutoff * 100.0 * 1e9) / 1e9  # float compare below
+    cfg.mappability = {}
+    cfg.chromNames = list(bw.names)
+    cfg.chromLengths = list(bw.lengths)
+    qvals = []
+    for name in bw.names:
+        q = quantize(bw.values(name))
+        qvals.append(q)
+        cfg.mappability[name] = q >= (cfg.mappabilityCutoff * 100.0)
+    if cfg.outBBMName:
+        sys.stderr.write(f"writing .bbm file to {cfg.outBBMName}\n")
+        try:
+            write_bbm(cfg.outBBMName, bw.names, bw.lengths, qvals)
+        except OSError:
+            sys.stderr.write(
+                f"Couldn't open {cfg.outBBMName} for writing! Insufficient permissions?\n"
+            )
+            return -7
+    return None
+
+
+def _load_bbm_mappability(cfg):
+    from .io.bbm import read_bbm, MalformedBBM
+
+    try:
+        names, lengths, values = read_bbm(cfg.BBMName)
+    except FileNotFoundError:
+        sys.stderr.write(f"Couldn't open {cfg.BBMName} for reading!\n")
+        return -8
+    except MalformedBBM as e:
+        if "version" in str(e):
+            sys.stderr.write(f"fatal: {cfg.BBMName} has wrong BBM version or is malformed\n")
+            return -10
+        print("fatal: malformed BBM file")
+        return -9
+    cfg.filterMappability = 1
+    sys.stderr.write(f"loading mappability data from {cfg.BBMName}\n")
+    cfg.chromNames = names
+    cfg.chromLengths = lengths
+    cfg.mappability = {
+        n: v >= (cfg.mappabilityCutoff * 100.0) for n, v in zip(names, values)
+    }
+    return None
+
+
+# ------------------------------------------------------------------- main
+
+def usage_main():
+    sys.stderr.write(
+        "methyldackel-tpu: a TPU-native tool for processing bisulfite "
+        "sequencing alignments.\n"
+        f"Version: {REFERENCE_VERSION} (methyldackel_tpu {__version__})\n"
+        "Usage: methyldackel-tpu <command> [options]\n\n"
+        "Commands:\n"
+        "    mbias    Determine the position-dependent methylation bias in a dataset,\n"
+        "             producing diagnostic SVG images.\n"
+        "    extract  Extract methylation metrics from an alignment file in BAM/CRAM\n"
+        "             format.\n"
+        "    mergeContext   Combine single Cytosine metrics into per-CpG/CHG metrics.\n"
+        "    perRead  Generate a per-read methylation summary.\n"
+    )
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        usage_main()
+        return 0
+    cmd = argv[0]
+    if cmd in ("-h", "--help"):
+        usage_main()
+        return 0
+    if cmd in ("-v", "--version"):
+        print_version()
+        return 0
+    if cmd == "extract":
+        return extract_main(argv[1:])
+    if cmd == "mbias":
+        from .engine.mbias import mbias_main
+        return mbias_main(argv[1:])
+    if cmd == "mergeContext":
+        from .engine.merge_context import merge_context_main
+        return merge_context_main(argv[1:])
+    if cmd == "perRead":
+        from .engine.perread import perread_main
+        return perread_main(argv[1:])
+    sys.stderr.write("Unknown command!\n")
+    usage_main()
+    return -1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,354 @@
+"""The extract engine: window pipeline + byte-compatible emission.
+
+Drives the full reference call stack (SURVEY §3.1) as a deterministic
+sequence of data-parallel window computations:
+
+  windows (scheduler) → read filter/trim (ops.semantics) → mate-overlap
+  arbitration → 4-channel pileup scatter-add → variant exclusion / context
+  merging / formatting (this module).
+
+The per-window compute step is pluggable: the default host backend runs the
+exact numpy semantics; the TPU backend (methyldackel_tpu.parallel) runs the
+same math as a jitted JAX pipeline with a Pallas scatter-add and is tested
+equal. Output is identical to the reference binary byte-for-byte on its own
+test fixtures.
+"""
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.bam import BamFile
+from ..io.fasta import FastaFile
+from ..io import bed as bedio
+from ..ops import semantics as sem
+from . import formats
+from .scheduler import windows, parse_region
+
+REF_C, REF_G = ord("C"), ord("G")
+
+
+@dataclass
+class BedState:
+    filter_idx: int = 0  # mplp_data.bedIdx (filter_func's resumable index)
+    col_idx: int = 0     # extractCalls' local bedIdx (chunk + column checks)
+
+
+@dataclass
+class LastCall:
+    """struct lastCall (extract.c:28-31); tid -1 = empty."""
+    tid: int = -1
+    pos: int = 0
+    nmethyl: int = 0
+    nunmethyl: int = 0
+
+
+@dataclass
+class WindowResult:
+    lines: tuple  # (cpg, chg, chh) lists of strings
+    n_variant_positions: int
+
+
+def bed_coverage(bed, tid: int, start: int, end: int, col_idx: int):
+    """Per-position coverage/strand for [start, end) following the
+    posOverlapsBED walk semantics (bed.c:46-53): position p is covered by
+    the first region (scanning forward) whose end > p, iff p >= its start.
+    Returns (covered[W] bool, rstrand[W] int8, new_col_idx)."""
+    W = end - start
+    covered = np.zeros(W, dtype=bool)
+    rstrand = np.zeros(W, dtype=np.int8)
+    idx = col_idx
+    frontier = start
+    while idx < bed.n and frontier < end:
+        rtid = int(bed.tid[idx])
+        if rtid < tid:
+            idx += 1
+            continue
+        if rtid > tid:
+            break
+        rend = int(bed.end[idx])
+        if rend <= frontier:
+            idx += 1
+            continue
+        lo = max(int(bed.start[idx]), frontier, start)
+        hi = min(rend, end)
+        if lo < hi:
+            covered[lo - start : hi - start] = True
+            rstrand[lo - start : hi - start] = bed.strand[idx]
+        frontier = rend
+        idx += 1
+    # Advance the persisted index the way the column walk would after the
+    # final column of this window (monotone; under-advance is self-healing).
+    new_idx = col_idx
+    while new_idx < bed.n and (
+        bed.tid[new_idx] < tid or (bed.tid[new_idx] == tid and bed.end[new_idx] <= end - 1)
+    ):
+        new_idx += 1
+    return covered, rstrand, new_idx
+
+
+def prepare_window_reads(cfg, bam, batch, strand_arr, tid, bed_state,
+                         ref_window, win_offset):
+    """filter_func stages (common.c:407-463) for one window's reads:
+    flag gates, BED span prefilter, conversion efficiency, trimming.
+    Mutates batch.seq/batch.qual (trimming). Returns keep mask."""
+    keep, patched_flag = sem.filter_reads(cfg, batch, strand_arr,
+                                          getattr(cfg, "_mapp_by_tid", None))
+    batch.flag = patched_flag
+
+    if cfg.bed is not None:
+        # Sequential span checks with the persistent filter index; a -1
+        # result ends the iterator (filter_func rv<0), dropping the read and
+        # everything after it.
+        for i in range(batch.n):
+            if not keep[i]:
+                continue
+            overlap, bed_state.filter_idx = bedio.span_overlaps_bed(
+                int(batch.tid[i]), int(batch.pos[i]), int(batch.endpos[i]),
+                cfg.bed, bed_state.filter_idx,
+            )
+            if overlap == 0:
+                keep[i] = False
+            elif overlap < 0:
+                keep[i:] = False
+                break
+
+    if cfg.minConversionEfficiency > 0.0:
+        eff = sem.conversion_efficiency(
+            batch.seq, batch.qual, batch.refpos, strand_arr,
+            ref_window, win_offset, cfg.minPhred,
+        )
+        keep &= eff >= np.float32(cfg.minConversionEfficiency)
+
+    # Trimming runs unconditionally in the C (the bounds array pointer is
+    # always truthy, common.c:458-459); zero bounds are a no-op.
+    sem.trim_alignment(batch.seq, batch.qual, batch.l_qseq, strand_arr,
+                       batch.flag, cfg.bounds)
+    sem.trim_absolute(batch.seq, batch.qual, batch.l_qseq, strand_arr,
+                      batch.flag, cfg.absoluteBounds)
+    return keep
+
+
+def compute_window_counters_host(cfg, batch, strand_arr, keep, ref_window,
+                                 win_offset, win_start, win_end, rstrand=None):
+    """Host (numpy) window compute: overlap arbitration + 4-channel pileup."""
+    kidx = np.nonzero(keep)[0]
+    if len(kidx) == 0:
+        return np.zeros((win_end - win_start, 4), dtype=np.uint32)
+    seq = batch.seq[kidx]
+    qual = batch.qual[kidx]
+    refpos = batch.refpos[kidx]
+    st = strand_arr[kidx]
+    qnames = [batch.qname[i] for i in kidx]
+    a_idx, b_idx = sem.pair_mates(qnames, batch.flag[kidx])
+    sem.arbitrate_overlaps(seq, qual, refpos, st, a_idx, b_idx)
+    if rstrand is not None:
+        # BED strand column: per-base inclusion via the region covering the
+        # base's column (readStrandOverlapsBED, bed.c:56-64).
+        safe = np.clip(refpos - win_start, 0, win_end - win_start - 1)
+        rs = rstrand[safe]
+        odd = (st.astype(np.int64) & 1)[:, None] == 1
+        keep_base = (rs == 0) | ((rs == 1) & odd) | ((rs == 2) & ~odd)
+    else:
+        keep_base = np.ones(seq.shape, dtype=bool)
+    return sem.pileup_channels(seq, qual, refpos, st, keep_base, ref_window,
+                               win_offset, win_start, win_end, cfg.minPhred)
+
+
+def emit_window(cfg, chrom: str, tid: int, win_start: int, win_end: int,
+                win_offset: int, ref_window: np.ndarray,
+                counters: np.ndarray, covered) -> WindowResult:
+    """The write phase of extractCalls (extract.c:407-510): context
+    classification, variant exclusion, merging, blanks, formatting."""
+    seqlen = len(ref_window)
+    ctype, cdir = sem.classify_context(ref_window)
+    lines = ([], [], [])
+    n_variant = 0
+
+    # Candidate positions (window-relative)
+    wlen = win_end - win_start
+    base_idx = np.arange(wlen) + (win_start - win_offset)
+    base_idx = base_idx[base_idx < seqlen]
+    ct = ctype[base_idx]
+    cd = cdir[base_idx]
+    keep_vec = np.array([cfg.keepCpG, cfg.keepCHG, cfg.keepCHH, 0], dtype=bool)
+    ctx_kept = keep_vec[ct]
+
+    has_data = counters[: len(base_idx)].any(axis=1)
+    if cfg.cytosine_report:
+        candidates = np.nonzero(ctx_kept)[0]
+    else:
+        candidates = np.nonzero(ctx_kept & has_data)[0]
+
+    last_cpg = LastCall()
+    last_chg = LastCall()
+    merge = cfg.merge
+
+    for w in candidates:
+        pos = win_start + int(w)
+        t = int(ct[w])
+        direction = int(cd[w])
+        base = int(ref_window[w + (win_start - win_offset)])
+        uncovered = covered is not None and not covered[w]
+        if uncovered and not cfg.cytosine_report:
+            continue
+        if uncovered:
+            # BED-uncovered columns are skipped entirely in the C
+            # (extract.c:403-404) and only surface later as writeBlank
+            # zero-coverage rows; no variant/merge logic runs for them.
+            nm = nu = 0
+        else:
+            nm, nu, noff, nvar = (int(x) for x in counters[w])
+
+            # Variant-site exclusion (extract.c:444-459)
+            if (cfg.minOppositeDepth > 0 and noff >= cfg.minOppositeDepth
+                    and nvar / noff >= cfg.maxVariantFrac):
+                n_variant += 1
+                if merge:
+                    if (t == sem.CTX_CPG and last_cpg.tid == tid
+                            and last_cpg.pos == pos - 1 and base == REF_G):
+                        last_cpg.nmethyl = 0
+                        last_cpg.nunmethyl = 0
+                    elif (t == sem.CTX_CHG and last_chg.tid == tid
+                            and last_chg.pos == pos - 2 and base == REF_G):
+                        last_chg.nmethyl = 0
+                        last_chg.nunmethyl = 0
+                if cfg.cytosine_report:
+                    nm = nu = 0  # reported as a zero-coverage blank
+                else:
+                    continue
+        if nm + nu == 0 and not cfg.cytosine_report:
+            continue
+
+        if not merge or t == sem.CTX_CHH:
+            if cfg.cytosine_report:
+                context = {sem.CTX_CPG: "G", sem.CTX_CHG: "HG", sem.CTX_CHH: "HH"}[t]
+                tnc = formats.TRI_NUCLEOTIDE_CONTEXTS[
+                    formats.tri_nuc_context(ref_window, w + (win_start - win_offset),
+                                            seqlen, direction)
+                ]
+                line = formats.write_call(cfg, chrom, pos, 1, nm, nu, base, context, tnc)
+                if line:
+                    lines[0].append(line)
+            else:
+                line = formats.write_call(cfg, chrom, pos, 1, nm, nu, base, None, None)
+                if line:
+                    lines[t].append(line)
+        else:
+            if t == sem.CTX_CPG:
+                if base == REF_G:
+                    pos -= 1
+                _process_last(lines[0], cfg, last_cpg, chrom, tid, pos, 2, nm, nu)
+            else:
+                if base == REF_G:
+                    pos -= 2
+                _process_last(lines[1], cfg, last_chg, chrom, tid, pos, 3, nm, nu)
+
+    # Flush pending merged calls (extract.c:496-507)
+    if merge:
+        if cfg.keepCpG and last_cpg.tid != -1:
+            line = formats.write_call(cfg, chrom, last_cpg.pos, 2,
+                                      last_cpg.nmethyl, last_cpg.nunmethyl,
+                                      REF_C, None, None)
+            if line:
+                lines[0].append(line)
+        if cfg.keepCHG and last_chg.tid != -1:
+            line = formats.write_call(cfg, chrom, last_chg.pos, 3,
+                                      last_chg.nmethyl, last_chg.nunmethyl,
+                                      REF_C, None, None)
+            if line:
+                lines[1].append(line)
+    return WindowResult(lines, n_variant)
+
+
+def _process_last(out: list, cfg, last: LastCall, chrom: str, tid: int,
+                  pos: int, width: int, nm: int, nu: int) -> None:
+    """processLast (extract.c:207-222)."""
+    if last.tid == tid and last.pos == pos:
+        line = formats.write_call(cfg, chrom, pos, width,
+                                  nm + last.nmethyl, nu + last.nunmethyl,
+                                  REF_C, None, None)
+        if line:
+            out.append(line)
+        last.tid = -1
+    else:
+        if last.tid != -1:
+            line = formats.write_call(cfg, chrom, last.pos, width,
+                                      last.nmethyl, last.nunmethyl,
+                                      REF_C, None, None)
+            if line:
+                out.append(line)
+        last.tid = tid
+        last.pos = pos
+        last.nmethyl = nm
+        last.nunmethyl = nu
+
+
+def run_extract(cfg, out_streams, compute_backend=None) -> int:
+    """Full extract pipeline. out_streams: (cpg, chg, chh) file objects (any
+    may be None; cytosine_report uses slot 0). Returns the number of
+    variant-excluded positions (extract.c:1489)."""
+    bam = BamFile(cfg.BAMName)
+    fasta = FastaFile(cfg.FastaName)
+    hdr = bam.header
+    compute = compute_backend or compute_window_counters_host
+
+    g_tid, g_pos, g_end = 0, 0, 0
+    if cfg.reg:
+        g_tid, g_pos, g_end = parse_region(cfg.reg, hdr)
+    if cfg.bedName and cfg.bed is None:
+        cfg.bed = bedio.parse_bed(cfg.bedName, hdr, cfg.keepStrand)
+        if cfg.bed is None:
+            raise RuntimeError("There was an error while reading in your BED file!")
+        print(f"Parsed {cfg.bed.n} regions in {cfg.bedName}", file=sys.stderr)
+
+    if cfg.filterMappability and cfg.mappability:
+        # Map BAM tids onto the mappability track's name-keyed bit arrays
+        # (getMappabilityValue's name lookup, common.c:213-223).
+        cfg._mapp_by_tid = {t: cfg.mappability.get(n) for t, n in enumerate(hdr.names)}
+
+    bed_state = BedState()
+    n_variant_positions = 0
+
+    for tid, lpos, lend in windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos, g_end):
+        name = hdr.names[tid]
+        if cfg.bed is not None:
+            ok, bed_state.col_idx = bedio.span_overlaps_bed(
+                tid, lpos, lend, cfg.bed, bed_state.col_idx
+            )
+            if ok != 1:
+                continue
+        lpos2 = lpos - 2 if lpos > 1 else 0
+        ref_window = fasta.fetch(name, lpos2, lend + 10)
+        if ref_window is None or len(ref_window) == 0:
+            print(
+                f"faidx_fetch_seq returned -2 while trying to fetch the sequence "
+                f"for tid {name}:{lpos2}-{lend}!",
+                file=sys.stderr,
+            )
+            print("Note that the output will be truncated!", file=sys.stderr)
+            continue
+
+        idx = bam.overlapping(tid, lpos, lend)
+        batch = bam.batch(idx)
+        strand_arr = sem.strand(batch.flag, batch.xg)
+        keep = prepare_window_reads(cfg, bam, batch, strand_arr, tid, bed_state,
+                                    ref_window, lpos2)
+
+        covered = rstrand = None
+        if cfg.bed is not None:
+            covered, rstrand, bed_state.col_idx = bed_coverage(
+                cfg.bed, tid, lpos, lend, bed_state.col_idx
+            )
+
+        counters = compute(cfg, batch, strand_arr, keep, ref_window, lpos2,
+                           lpos, lend, rstrand)
+        result = emit_window(cfg, name, tid, lpos, lend, lpos2, ref_window,
+                             np.asarray(counters), covered)
+        n_variant_positions += result.n_variant_positions
+        for slot in range(3):
+            if result.lines[slot] and out_streams[slot] is not None:
+                out_streams[slot].write("".join(result.lines[slot]))
+    return n_variant_positions

@@ -1,0 +1,319 @@
+"""BAM container decoder → structure-of-arrays tensor batches.
+
+Replaces htslib's sam_read1/bam_mplp machinery (the reference's L1/L3 layers,
+extract.c:283-295, common.c:407) with a host-side decode into fixed-width
+numpy arrays ready to ship to the TPU:
+
+- per-read scalars: FLAG, tid, pos, MAPQ, l_qseq, endpos, mate info, XG / NH
+  auxiliary tags (getStrand, common.c:84-116, uses XG; filter_func,
+  common.c:421-427, uses NH);
+- per-base ragged arrays (concatenated + offsets): 4-bit base codes, phred
+  quals, and CIGAR-expanded reference positions — the tensor form of
+  calculate_positions() (overlaps.c:27-52): M/=/X bases carry their reference
+  coordinate, I/S bases carry -1.
+
+`ReadBatch.pad()` turns any subset of reads into [N, L] padded tensors for the
+device pipeline.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .bgzf import BGZFReader
+
+# BAM 4-bit base codes (bam_seqi): 1=A 2=C 4=G 8=T 15=N
+BASE_A, BASE_C, BASE_G, BASE_T, BASE_N = 1, 2, 4, 8, 15
+
+_CIGAR_CONSUME_READ = np.array([1, 1, 0, 0, 1, 0, 0, 1, 1], dtype=bool)  # MIDNSHP=X
+_CIGAR_CONSUME_REF = np.array([1, 0, 1, 1, 0, 0, 0, 1, 1], dtype=bool)
+_CIGAR_IS_ALIGNED = np.array([1, 0, 0, 0, 0, 0, 0, 1, 1], dtype=bool)  # M,=,X
+
+
+@dataclass
+class BamHeader:
+    text: str
+    names: list[str]
+    lengths: list[int]
+
+    @property
+    def n_targets(self) -> int:
+        return len(self.names)
+
+    def name2id(self, name: str) -> int:
+        try:
+            return self.names.index(name)
+        except ValueError:
+            return -1
+
+
+@dataclass
+class ReadBatch:
+    """Padded structure-of-arrays view over N reads (device-ready)."""
+
+    qname: list
+    flag: np.ndarray       # [N] uint16
+    tid: np.ndarray        # [N] int32
+    pos: np.ndarray        # [N] int64
+    mapq: np.ndarray       # [N] uint8
+    l_qseq: np.ndarray     # [N] int32
+    endpos: np.ndarray     # [N] int64
+    mtid: np.ndarray       # [N] int32
+    mpos: np.ndarray       # [N] int64
+    xg: np.ndarray         # [N] int8: 0 absent/other, 1 'C', 2 'G'
+    nh: np.ndarray         # [N] int32: -1 absent
+    seq: np.ndarray        # [N, L] uint8 4-bit codes, 0 beyond l_qseq
+    qual: np.ndarray       # [N, L] uint8, 0 beyond l_qseq
+    refpos: np.ndarray     # [N, L] int64, -1 for I/S bases, -2 beyond l_qseq
+
+    @property
+    def n(self) -> int:
+        return len(self.flag)
+
+    @property
+    def width(self) -> int:
+        return self.seq.shape[1] if self.n else 0
+
+
+class BamFile:
+    """Whole-file BAM decoder with coordinate-stable ordering.
+
+    Decodes every record once into ragged SoA arrays; window queries
+    (`overlapping(tid, start, end)`) are then pure numpy range filters —
+    replacing per-chunk BAI iterator re-opens (extract.c:379) with a single
+    decode pass.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        reader = BGZFReader(path)
+        data = reader.data
+        if data[:4] != b"BAM\x01":
+            raise ValueError(f"{path} is not a BAM file")
+        l_text = struct.unpack_from("<i", data, 4)[0]
+        text = data[8 : 8 + l_text].split(b"\x00", 1)[0].decode()
+        p = 8 + l_text
+        n_ref = struct.unpack_from("<i", data, p)[0]
+        p += 4
+        names, lengths = [], []
+        for _ in range(n_ref):
+            l_name = struct.unpack_from("<i", data, p)[0]
+            p += 4
+            names.append(data[p : p + l_name - 1].decode())
+            p += l_name
+            lengths.append(struct.unpack_from("<i", data, p)[0])
+            p += 4
+        self.header = BamHeader(text, names, lengths)
+        self._decode_records(data, p)
+
+    # ------------------------------------------------------------------ decode
+
+    def _decode_records(self, data: bytes, p: int) -> None:
+        qnames: list[str] = []
+        flags, tids, poss, mapqs, lqs = [], [], [], [], []
+        mtids, mposs, endposs, xgs, nhs = [], [], [], [], []
+        seq_parts, qual_parts, refpos_parts = [], [], []
+        offsets = [0]
+        total = 0
+        n = len(data)
+        nib_lut = _nibble_lut()
+
+        while p < n:
+            (block_size,) = struct.unpack_from("<i", data, p)
+            rec_end = p + 4 + block_size
+            (refID, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+             next_refID, next_pos, _tlen) = struct.unpack_from("<iiBBHHHiiii", data, p + 4)
+            q = p + 4 + 32
+            qname = data[q : q + l_read_name - 1].decode()
+            q += l_read_name
+            cigar = np.frombuffer(data, dtype="<u4", count=n_cigar, offset=q)
+            q += 4 * n_cigar
+            nbytes = (l_seq + 1) // 2
+            seq_packed = np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=q)
+            q += nbytes
+            qual = np.frombuffer(data, dtype=np.uint8, count=l_seq, offset=q).copy()
+            q += l_seq
+            xg, nh = _scan_tags(data, q, rec_end)
+
+            seq = nib_lut[seq_packed].reshape(-1)[:l_seq].copy()
+            refpos, endpos = _expand_cigar(cigar, pos, l_seq)
+
+            qnames.append(qname)
+            flags.append(flag)
+            tids.append(refID)
+            poss.append(pos)
+            mapqs.append(mapq)
+            lqs.append(l_seq)
+            mtids.append(next_refID)
+            mposs.append(next_pos)
+            endposs.append(endpos)
+            xgs.append(xg)
+            nhs.append(nh)
+            seq_parts.append(seq)
+            qual_parts.append(qual)
+            refpos_parts.append(refpos)
+            total += l_seq
+            offsets.append(total)
+            p = rec_end
+
+        self.qname = qnames
+        self.flag = np.asarray(flags, dtype=np.uint16)
+        self.tid = np.asarray(tids, dtype=np.int32)
+        self.pos = np.asarray(poss, dtype=np.int64)
+        self.mapq = np.asarray(mapqs, dtype=np.uint8)
+        self.l_qseq = np.asarray(lqs, dtype=np.int32)
+        self.mtid = np.asarray(mtids, dtype=np.int32)
+        self.mpos = np.asarray(mposs, dtype=np.int64)
+        self.endpos = np.asarray(endposs, dtype=np.int64)
+        self.xg = np.asarray(xgs, dtype=np.int8)
+        self.nh = np.asarray(nhs, dtype=np.int32)
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.seq_flat = np.concatenate(seq_parts) if seq_parts else np.zeros(0, np.uint8)
+        self.qual_flat = np.concatenate(qual_parts) if qual_parts else np.zeros(0, np.uint8)
+        self.refpos_flat = (
+            np.concatenate(refpos_parts) if refpos_parts else np.zeros(0, np.int64)
+        )
+
+        # Coordinate-sorted processing order (stable: preserves file order at
+        # equal positions, matching the htslib iterator's delivery order).
+        key = self.tid.astype(np.int64) * (1 << 40) + self.pos
+        self.order = np.argsort(key, kind="stable")
+
+    @property
+    def n_reads(self) -> int:
+        return len(self.flag)
+
+    # ----------------------------------------------------------------- queries
+
+    def overlapping(self, tid: int, start: int, end: int) -> np.ndarray:
+        """Indices (in sorted order) of reads overlapping [start, end) on tid.
+
+        Mirrors sam_itr_queryi semantics: a read overlaps if pos < end and
+        endpos > start.
+        """
+        mask = (self.tid == tid) & (self.pos < end) & (self.endpos > start)
+        idx = np.nonzero(mask)[0]
+        key = self.pos[idx]
+        # stable order by position then original file order
+        return idx[np.argsort(key, kind="stable")]
+
+    def batch(self, idx: np.ndarray, width: int | None = None) -> ReadBatch:
+        """Materialize a padded ReadBatch for the given read indices."""
+        idx = np.asarray(idx, dtype=np.int64)
+        nreads = len(idx)
+        lq = self.l_qseq[idx] if nreads else np.zeros(0, np.int32)
+        L = int(width) if width is not None else (int(lq.max()) if nreads else 0)
+        seq = np.zeros((nreads, L), dtype=np.uint8)
+        qual = np.zeros((nreads, L), dtype=np.uint8)
+        refpos = np.full((nreads, L), -2, dtype=np.int64)
+        for row, i in enumerate(idx):
+            o0, o1 = self.offsets[i], self.offsets[i + 1]
+            m = int(o1 - o0)
+            seq[row, :m] = self.seq_flat[o0:o1]
+            qual[row, :m] = self.qual_flat[o0:o1]
+            refpos[row, :m] = self.refpos_flat[o0:o1]
+        return ReadBatch(
+            qname=[self.qname[i] for i in idx],
+            flag=self.flag[idx],
+            tid=self.tid[idx],
+            pos=self.pos[idx],
+            mapq=self.mapq[idx],
+            l_qseq=self.l_qseq[idx],
+            endpos=self.endpos[idx],
+            mtid=self.mtid[idx],
+            mpos=self.mpos[idx],
+            xg=self.xg[idx],
+            nh=self.nh[idx],
+            seq=seq,
+            qual=qual,
+            refpos=refpos,
+        )
+
+
+def _nibble_lut() -> np.ndarray:
+    """256 → (hi, lo) nibble pairs for unpacking packed 4-bit sequences."""
+    lut = np.zeros((256, 2), dtype=np.uint8)
+    v = np.arange(256, dtype=np.uint16)
+    lut[:, 0] = (v >> 4).astype(np.uint8)
+    lut[:, 1] = (v & 0xF).astype(np.uint8)
+    return lut
+
+
+def _expand_cigar(cigar: np.ndarray, pos: int, l_seq: int):
+    """CIGAR → per-read-base reference positions + endpos.
+
+    Tensor form of calculate_positions() (overlaps.c:27-52): aligned bases
+    (M/=/X) get their 0-based reference coordinate; I/S bases get -1; D/N
+    advance the reference cursor without producing read bases; H/P produce
+    nothing.
+    """
+    if len(cigar) == 0:
+        return np.full(l_seq, -1, dtype=np.int64), pos + 1
+    ops = (cigar & 0xF).astype(np.int64)
+    lens = (cigar >> 4).astype(np.int64)
+    ref_len = int(lens[_CIGAR_CONSUME_REF[ops]].sum())
+    endpos = pos + ref_len if ref_len > 0 else pos + 1
+    op_per_step = np.repeat(ops, lens)
+    ref_consume = _CIGAR_CONSUME_REF[op_per_step]
+    read_consume = _CIGAR_CONSUME_READ[op_per_step]
+    refpos_stream = pos + np.cumsum(ref_consume) - ref_consume
+    aligned = _CIGAR_IS_ALIGNED[op_per_step]
+    per_step_refpos = np.where(aligned, refpos_stream, -1)
+    refpos = per_step_refpos[read_consume].astype(np.int64)
+    if len(refpos) != l_seq:
+        # Malformed CIGAR/SEQ combination; pad conservatively with -1.
+        out = np.full(l_seq, -1, dtype=np.int64)
+        out[: min(l_seq, len(refpos))] = refpos[:l_seq]
+        refpos = out
+    return refpos, endpos
+
+
+def _scan_tags(data: bytes, p: int, end: int):
+    """Walk BAM aux tags; return (xg_code, nh_value).
+
+    xg_code follows getStrand (common.c:86-88): only a value whose first
+    character is 'C' or 'G' counts (Bismark's XG:Z:CT/GA both qualify via
+    their first letter); anything else behaves as absent.
+    """
+    xg = 0
+    nh = -1
+    while p + 3 <= end:
+        tag = data[p : p + 2]
+        typ = data[p + 2 : p + 3]
+        p += 3
+        if typ in b"AcC":
+            val = data[p]
+            p += 1
+            size = 0
+        elif typ in b"sS":
+            (val,) = struct.unpack_from("<H" if typ == b"S" else "<h", data, p)
+            p += 2
+        elif typ in b"iI":
+            (val,) = struct.unpack_from("<I" if typ == b"I" else "<i", data, p)
+            p += 4
+        elif typ == b"f":
+            (val,) = struct.unpack_from("<f", data, p)
+            p += 4
+        elif typ in b"ZH":
+            z = data.index(b"\x00", p)
+            val = data[p:z]
+            p = z + 1
+        elif typ == b"B":
+            sub = data[p : p + 1]
+            (cnt,) = struct.unpack_from("<i", data, p + 1)
+            esz = {b"c": 1, b"C": 1, b"s": 2, b"S": 2, b"i": 4, b"I": 4, b"f": 4}[sub]
+            val = None
+            p += 5 + esz * cnt
+        else:
+            break  # unknown tag type; stop scanning
+        if tag == b"XG" and typ == b"Z":
+            first = val[:1]
+            if first == b"C":
+                xg = 1
+            elif first == b"G":
+                xg = 2
+        elif tag == b"NH" and typ in b"cCsSiI":
+            nh = int(val)
+    return xg, nh

@@ -1,0 +1,441 @@
+"""Exact vectorized (numpy) semantics of the methylation-call core.
+
+This is the host-side twin of the JAX/Pallas device ops: every function here
+reproduces the corresponding reference C routine bit-for-bit and serves both
+as the host execution engine and as the oracle the device kernels are tested
+against.
+
+Reference mapping:
+- strand()                ← getStrand (common.c:84-116)
+- classify_context()      ← isCpG/isCHG/isCHH (common.c:49-82)
+- trim_alignment()        ← trimAlignment (common.c:137-172)
+- trim_absolute()         ← trimAbsoluteAlignment (common.c:174-208)
+- arbitrate_overlaps()    ← cust_tweak_overlap_quality (overlaps.c:54-119)
+- meth_state()            ← updateMetrics/getMethylState (common.c:118-134)
+- conversion_efficiency() ← computeConversionEfficiency (common.c:361-404)
+- filter_reads()          ← filter_func (common.c:407-463)
+- pileup_channels()       ← the per-column tally in extractCalls
+                            (extract.c:420-441) + isVariant (extract.c:225-239)
+- mbias_counters()        ← extractMBias's counter loop (MBias.c:180-214)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# BAM 4-bit base codes
+A, C, G, T, N = 1, 2, 4, 8, 15
+
+# ASCII codes for the (uppercased) reference
+REF_A, REF_C, REF_G, REF_T = ord("A"), ord("C"), ord("G"), ord("T")
+
+# Channel layout of the pileup counters
+CH_METH, CH_UNMETH, CH_OFF, CH_VARIANT = 0, 1, 2, 3
+
+# Quality boost table for agreeing overlap bases: C computes
+# `q += 0.2*q` in double then truncates through the uint8 store
+# (overlaps.c:102-107). Python floats are C doubles, so this table is exact.
+QUAL_BOOST = np.array([int(q + 0.2 * q) & 0xFF for q in range(256)], dtype=np.uint8)
+
+
+# ----------------------------------------------------------------- strand
+
+def strand(flag: np.ndarray, xg: np.ndarray) -> np.ndarray:
+    """getStrand vectorized: 1 OT, 2 OB, 3 CTOT, 4 CTOB, 0 unknown.
+
+    xg: 0 = no usable XG tag, 1 = first char 'C', 2 = first char 'G'
+    (common.c:86-88 treats any other value as absent).
+    """
+    flag = flag.astype(np.uint32)
+    paired = (flag & 0x1) != 0
+    # no-XG path (common.c:88-98)
+    no_xg = np.select(
+        [
+            paired & ((flag & 0x50) == 0x50),
+            paired & ((flag & 0x40) != 0),
+            paired & ((flag & 0x90) == 0x90),
+            paired & ((flag & 0x80) != 0),
+            paired,
+            (flag & 0x10) != 0,
+        ],
+        [2, 1, 1, 2, 0, 2],
+        default=1,
+    )
+    # XG == 'C' (common.c:100-106)
+    xg_c = np.select(
+        [
+            (flag & 0x51) == 0x41,
+            (flag & 0x51) == 0x51,
+            (flag & 0x91) == 0x81,
+            (flag & 0x91) == 0x91,
+            (flag & 0x10) != 0,
+        ],
+        [1, 3, 3, 1, 3],
+        default=1,
+    )
+    # XG == 'G' (common.c:107-114)
+    xg_g = np.select(
+        [
+            (flag & 0x51) == 0x41,
+            (flag & 0x51) == 0x51,
+            (flag & 0x91) == 0x81,
+            (flag & 0x91) == 0x91,
+            (flag & 0x10) != 0,
+        ],
+        [4, 2, 2, 4, 2],
+        default=4,
+    )
+    return np.select([xg == 1, xg == 2], [xg_c, xg_g], default=no_xg).astype(np.int8)
+
+
+# ----------------------------------------------------------------- context
+
+CTX_CPG, CTX_CHG, CTX_CHH, CTX_NONE = 0, 1, 2, 3
+
+
+def classify_context(seq: np.ndarray):
+    """Per-position context over an uppercased ASCII reference window.
+
+    Returns (ctype, cdir): ctype in {CPG, CHG, CHH, NONE}; cdir +1 for a C on
+    the top strand, -1 for a G (reverse context), 0 for none. Truncated
+    contexts at window edges degrade exactly as the C does (a C with no
+    visible partner falls through CpG→CHG→CHH; common.c:49-82).
+    """
+    n = len(seq)
+    is_c = seq == REF_C
+    is_g = seq == REF_G
+    next_g = np.zeros(n, bool)
+    next_g[:-1] = is_g[1:]
+    prev_c = np.zeros(n, bool)
+    prev_c[1:] = is_c[:-1]
+    next2_g = np.zeros(n, bool)
+    next2_g[:-2] = is_g[2:]
+    prev2_c = np.zeros(n, bool)
+    prev2_c[2:] = is_c[:-2]
+
+    idx = np.arange(n)
+    cpg_f = is_c & (idx + 1 < n) & next_g
+    cpg_r = is_g & (idx > 0) & prev_c
+    chg_f = is_c & (idx + 2 < n) & next2_g
+    chg_r = is_g & (idx > 1) & prev2_c
+    chh_f = is_c
+    chh_r = is_g
+
+    ctype = np.select(
+        [cpg_f | cpg_r, chg_f | chg_r, chh_f | chh_r],
+        [CTX_CPG, CTX_CHG, CTX_CHH],
+        default=CTX_NONE,
+    ).astype(np.int8)
+    cdir = np.select(
+        [cpg_f, cpg_r, chg_f, chg_r, chh_f, chh_r],
+        [1, -1, 1, -1, 1, -1],
+        default=0,
+    ).astype(np.int8)
+    return ctype, cdir
+
+
+# ----------------------------------------------------------------- trimming
+
+def _bounds_per_read(strand_arr, is_read2, bounds16):
+    b = np.asarray(bounds16, dtype=np.int64).reshape(4, 4)
+    s = strand_arr.astype(np.int64) - 1
+    lb = np.where(is_read2, b[s, 2], b[s, 0])
+    rb = np.where(is_read2, b[s, 3], b[s, 1])
+    return lb, rb
+
+
+def trim_alignment(seq, qual, l_qseq, strand_arr, flag, bounds16):
+    """trimAlignment (common.c:137-172): positional inclusion windows.
+
+    Trims base indices [0, lb) and [rb, l_qseq) in place: qual→0, base→N.
+    """
+    L = seq.shape[1]
+    is_read2 = (flag & 0x80) != 0
+    lb, rb = _bounds_per_read(strand_arr, is_read2, bounds16)
+    lb = np.minimum(lb, l_qseq)
+    col = np.arange(L)[None, :]
+    inread = col < l_qseq[:, None]
+    left = (lb[:, None] > 0) & (col < lb[:, None])
+    right = (rb[:, None] > 0) & (col >= rb[:, None])
+    cut = (left | right) & inread
+    qual[cut] = 0
+    seq[cut] = N
+    return seq, qual
+
+
+def trim_absolute(seq, qual, l_qseq, strand_arr, flag, bounds16):
+    """trimAbsoluteAlignment (common.c:174-208): N bases off each end.
+
+    Right-side semantics follow the released binary's behavior, pinned by the
+    reference CI anchor (tests/test.py:84-88 expects 12 lines with
+    --nOT 50,50,40,40 on 100bp reads): the right loop indexes from l_qseq
+    down, so the trimmed indices are [l_qseq-rb+1, l_qseq) and base
+    l_qseq-rb is KEPT (the top index lands one past the array and is a
+    no-op here). The left loop trims [0, lb) exactly.
+    """
+    L = seq.shape[1]
+    is_read2 = (flag & 0x80) != 0
+    lb, rb = _bounds_per_read(strand_arr, is_read2, bounds16)
+    lb = np.minimum(lb, l_qseq)
+    rb = np.minimum(rb, l_qseq)
+    col = np.arange(L)[None, :]
+    inread = col < l_qseq[:, None]
+    left = (lb[:, None] > 0) & (col < lb[:, None])
+    right = (rb[:, None] > 0) & (col >= (l_qseq - rb + 1)[:, None])
+    cut = (left | right) & inread
+    qual[cut] = 0
+    seq[cut] = N
+    return seq, qual
+
+
+# ------------------------------------------------------- overlap arbitration
+
+def pair_mates(qnames, flag, order=None):
+    """Pair mate occurrences the way the pileup constructor does
+    (overlaps.c:121-139): reads arrive in position-sorted order; the first
+    passing occurrence of a qname is stored, the second triggers arbitration.
+    Unpaired reads and reads with self/mate unmapped (flag & 12) never enter
+    the hash. Returns (a_idx, b_idx) row-index arrays."""
+    pending: dict[str, int] = {}
+    a_list, b_list = [], []
+    n = len(qnames)
+    rng = range(n) if order is None else order
+    for i in rng:
+        f = int(flag[i])
+        if not (f & 0x1) or (f & 12):
+            continue
+        q = qnames[i]
+        j = pending.pop(q, None)
+        if j is None:
+            pending[q] = i
+        else:
+            a_list.append(j)
+            b_list.append(i)
+    return np.asarray(a_list, dtype=np.int64), np.asarray(b_list, dtype=np.int64)
+
+
+def arbitrate_overlaps(seq, qual, refpos, strand_arr, a_idx, b_idx):
+    """cust_tweak_overlap_quality (overlaps.c:54-119), vectorized per pair.
+
+    Mutates qual in place. Rules at each shared reference position:
+    - bases differ: higher-qual non-N base keeps (its qual minus the other's),
+      loser zeroed; N-or-tie zeroes both.
+    - bases agree: winner (a on ties... b on ties — the C's else branch) gets
+      floor(1.2*q) through uint8 wraparound, loser zeroed.
+    Pairs on incompatible strands (parity differs) are skipped.
+    """
+    for a, b in zip(a_idx, b_idx):
+        if ((int(strand_arr[a]) - int(strand_arr[b])) & 1) == 1:
+            continue
+        pa, pb = refpos[a], refpos[b]
+        va = np.nonzero(pa >= 0)[0]
+        vb = np.nonzero(pb >= 0)[0]
+        common, i1, i2 = np.intersect1d(pa[va], pb[vb], return_indices=True)
+        if len(common) == 0:
+            continue
+        ia, ib = va[i1], vb[i2]
+        qa = qual[a][ia].astype(np.int64)
+        qb = qual[b][ib].astype(np.int64)
+        ba = seq[a][ia]
+        bb = seq[b][ib]
+        differ = ba != bb
+        awins_d = differ & (qa > qb) & (ba != N)
+        bwins_d = differ & ~awins_d & (qb > qa) & (bb != N)
+        zero_d = differ & ~awins_d & ~bwins_d
+        awins_s = ~differ & (qa > qb)
+        bwins_s = ~differ & ~awins_s
+        new_qa = np.select(
+            [awins_d, awins_s, bwins_d | bwins_s | zero_d],
+            [qa - qb, QUAL_BOOST[qa], 0],
+            default=qa,
+        )
+        new_qb = np.select(
+            [bwins_d, bwins_s, awins_d | awins_s | zero_d],
+            [qb - qa, QUAL_BOOST[qb], 0],
+            default=qb,
+        )
+        qual[a][ia] = new_qa.astype(np.uint8)
+        qual[b][ib] = new_qb.astype(np.uint8)
+    return qual
+
+
+# ----------------------------------------------------------- methylation call
+
+def meth_state(seq, qual, strand_arr, min_phred):
+    """updateMetrics/getMethylState vectorized over [N, L]:
+    +1 methylated, -1 unmethylated, 0 uninformative."""
+    odd = (strand_arr.astype(np.int64) & 1)[:, None] == 1
+    passing = qual >= min_phred
+    state = np.zeros(seq.shape, dtype=np.int8)
+    state[passing & odd & (seq == C)] = 1
+    state[passing & odd & (seq == T)] = -1
+    state[passing & ~odd & (seq == G)] = 1
+    state[passing & ~odd & (seq == A)] = -1
+    return state
+
+
+# ------------------------------------------------------ conversion efficiency
+
+def conversion_efficiency(seq, qual, refpos, strand_arr, ref_window, win_offset,
+                          min_phred):
+    """computeConversionEfficiency (common.c:361-404) per read.
+
+    Counts meth/unmeth states at CHG+CHH (non-CpG) reference positions over
+    the read's aligned bases, truncated at the end of the fetched reference
+    window; efficiency = unmeth/(meth+unmeth), or 1.0 with no sites.
+    Uses *pre-trimming* quals (filter_func order, common.c:442 vs :458).
+    """
+    seqlen = len(ref_window)
+    seq_end = win_offset + seqlen
+    ctype, _ = classify_context(ref_window)
+    aligned = (refpos >= 0) & (refpos < seq_end)
+    # The C also never looks left of the window start; refpos < win_offset
+    # cannot happen for reads fetched for this window except via clipping
+    # quirks — guard anyway.
+    aligned &= refpos >= win_offset
+    idx = np.where(aligned, refpos - win_offset, 0)
+    ct = np.where(aligned, ctype[idx], CTX_NONE)
+    state = meth_state(seq, qual, strand_arr, min_phred)
+    informative = aligned & ((ct == CTX_CHG) | (ct == CTX_CHH))
+    n_meth = ((state > 0) & informative).sum(axis=1)
+    n_unmeth = ((state < 0) & informative).sum(axis=1)
+    total = n_meth + n_unmeth
+    with np.errstate(invalid="ignore", divide="ignore"):
+        eff = np.where(
+            total == 0,
+            np.float32(1.0),
+            n_unmeth.astype(np.float32) / total.astype(np.float32),
+        )
+    return eff.astype(np.float32)
+
+
+# ----------------------------------------------------------------- filtering
+
+def filter_reads(cfg, batch, strand_arr, mappability=None):
+    """filter_func stages 1-10 (common.c:412-431) as one boolean mask.
+
+    BED prefilter, conversion efficiency and trimming are applied by the
+    caller (they need window context / mutate the batch). Returns
+    (keep, flag) where flag has the discordant-pair bit patch applied
+    (common.c:431)."""
+    flag = batch.flag.astype(np.uint32).copy()
+    keep = np.ones(batch.n, dtype=bool)
+    keep &= ~((batch.tid == -1) | ((flag & 0x4) != 0))          # unmapped
+    keep &= batch.mapq >= cfg.minMapq                            # -q
+    keep &= (flag & cfg.ignoreFlags) == 0                        # -F
+    if cfg.requireFlags:
+        keep &= (flag & cfg.requireFlags) == cfg.requireFlags    # -R
+    if not cfg.keepDupes:
+        keep &= (flag & 0x400) == 0
+    if not cfg.ignoreNH:
+        keep &= ~(batch.nh > 1)                                  # multimappers
+    if cfg.filterMappability and mappability is not None:
+        keep &= check_mappability(cfg, batch, mappability)
+    if not cfg.keepSingleton:
+        keep &= (flag & 0x9) != 0x9
+    if not cfg.keepDiscordant:
+        keep &= (flag & 0x3) != 0x1
+    promote = (flag & 0x9) == 0x1
+    flag = np.where(promote, flag | 0x2, flag)
+    return keep, flag.astype(np.uint16)
+
+
+def check_mappability(cfg, batch, mappability):
+    """check_mappability (common.c:277-335): a read passes if either mate's
+    assumed span (mate span approximated with this read's l_qseq) contains
+    >= minMappableBases mappable bases. Spans starting at a negative
+    coordinate (unmapped mate, mpos=-1) read as all-unmappable, matching the
+    uint32 wraparound in the C."""
+    out = np.zeros(batch.n, dtype=bool)
+    for i in range(batch.n):
+        tid = int(batch.tid[i])
+        name = cfg.chromNames_bam[tid] if hasattr(cfg, "chromNames_bam") else None
+        bits = mappability.get(tid)
+        flag = int(batch.flag[i])
+        lq = int(batch.l_qseq[i])
+        left_is_this = bool(flag & 0x40) or ((flag & 0x10) and (flag & 0x80))
+        if left_is_this:
+            spans = [(int(batch.pos[i]), int(batch.pos[i]) + lq),
+                     (int(batch.mpos[i]), int(batch.mpos[i]) + lq)]
+        else:
+            spans = [(int(batch.mpos[i]), int(batch.mpos[i]) + lq),
+                     (int(batch.pos[i]), int(batch.pos[i]) + lq)]
+        ok = 0
+        for s, e in spans:
+            if bits is None or s < 0:
+                cnt = 0
+            else:
+                s0, e0 = max(s, 0), min(e, len(bits))
+                cnt = int(bits[s0:e0].sum()) if e0 > s0 else 0
+            if cnt >= cfg.minMappableBases:
+                ok += 1
+        out[i] = ok > 0
+    return out
+
+
+# ------------------------------------------------------------------- pileup
+
+def pileup_channels(seq, qual, refpos, strand_arr, keep_base, ref_window,
+                    win_offset, win_start, win_end, min_phred):
+    """The hot loop: per-column tally of extractCalls (extract.c:420-441)
+    as a 4-channel scatter-add over [win_start, win_end).
+
+    Channels: meth, unmeth, opposite-strand coverage, opposite-strand
+    variants. keep_base lets callers mask per-base contributions (BED strand
+    filtering). Returns uint32 [W, 4].
+    """
+    W = win_end - win_start
+    counters = np.zeros((W, 4), dtype=np.uint32)
+    valid = (refpos >= win_start) & (refpos < win_end) & keep_base
+    if not valid.any():
+        return counters
+    rp = refpos[valid] - win_start
+    refbase = ref_window[refpos[valid] - win_offset]
+    sodd = np.broadcast_to((strand_arr.astype(np.int64) & 1)[:, None] == 1, seq.shape)[valid]
+    base = seq[valid]
+    q = qual[valid]
+    calling = np.where(sodd, refbase == REF_C, refbase == REF_G)
+    passing = q >= min_phred
+
+    meth = calling & passing & np.where(sodd, base == C, base == G)
+    unmeth = calling & passing & np.where(sodd, base == T, base == A)
+    off = ~calling & passing
+    variant = off & np.where(sodd, (base != G) & (base != N), (base != C) & (base != N))
+
+    np.add.at(counters[:, CH_METH], rp[meth], 1)
+    np.add.at(counters[:, CH_UNMETH], rp[unmeth], 1)
+    np.add.at(counters[:, CH_OFF], rp[off], 1)
+    np.add.at(counters[:, CH_VARIANT], rp[variant], 1)
+    return counters
+
+
+# -------------------------------------------------------------------- mbias
+
+def mbias_counters(seq, qual, refpos, strand_arr, flag, keep_base, ref_window,
+                   win_offset, win_start, win_end, keep_ctx, min_phred, max_len):
+    """extractMBias counter loop (MBias.c:180-214): uint32 counters of shape
+    [4 strands, 2 reads, 2 states(meth, unmeth), max_len read cycles]."""
+    counters = np.zeros((4, 2, 2, max_len), dtype=np.uint32)
+    ctype, _ = classify_context(ref_window)
+    valid = (refpos >= win_start) & (refpos < win_end) & keep_base
+    if not valid.any():
+        return counters
+    widx = refpos - win_offset
+    widx = np.where(valid, widx, 0)
+    ct = np.where(valid, ctype[widx], CTX_NONE)
+    ctx_ok = np.zeros(ct.shape, dtype=bool)
+    for t, k in ((CTX_CPG, keep_ctx[0]), (CTX_CHG, keep_ctx[1]), (CTX_CHH, keep_ctx[2])):
+        if k:
+            ctx_ok |= ct == t
+    refbase = np.where(valid, ref_window[widx], 0)
+    sodd = (strand_arr.astype(np.int64) & 1)[:, None] == 1
+    calling = np.where(sodd, refbase == REF_C, refbase == REF_G)
+    state = meth_state(seq, qual, strand_arr, min_phred)
+    use = valid & ctx_ok & calling & (state != 0)
+    if not use.any():
+        return counters
+    qpos = np.broadcast_to(np.arange(seq.shape[1])[None, :], seq.shape)[use]
+    s_idx = np.broadcast_to((strand_arr - 1)[:, None], seq.shape)[use]
+    r_idx = np.broadcast_to(((flag & 0x80) != 0)[:, None], seq.shape)[use].astype(np.int64)
+    m_idx = (state[use] < 0).astype(np.int64)  # 0 = meth, 1 = unmeth
+    np.add.at(counters, (s_idx, r_idx, m_idx, qpos), 1)
+    return counters

@@ -1,0 +1,93 @@
+"""Host ingest layer unit tests: BGZF, BAM decode, faidx FASTA, BBM codec."""
+import numpy as np
+import pytest
+
+from methyldackel_tpu.io.bam import BamFile
+from methyldackel_tpu.io.bgzf import BGZFReader
+from methyldackel_tpu.io.fasta import FastaFile
+from methyldackel_tpu.io.bbm import read_bbm, write_bbm, quantize
+
+FIX = "/root/reference/tests"
+
+
+def test_bgzf_roundtrip():
+    r = BGZFReader(f"{FIX}/cg_aln.bam")
+    assert r.data[:4] == b"BAM\x01"
+    # first block's virtual offset 0 maps to flat 0
+    assert r.voffset_to_flat(0) == 0
+
+
+def test_bam_decode():
+    b = BamFile(f"{FIX}/cg_aln.bam")
+    assert b.header.names == ["chrCG"]
+    assert b.header.lengths == [100]
+    assert b.n_reads == 4
+    assert list(b.flag) == [0x63, 0x93, 0x263, 0x293]
+    assert list(b.l_qseq) == [100] * 4
+    assert list(b.xg) == [1, 1, 1, 1]  # XG:Z:CT → 'C'
+    assert list(b.endpos) == [100] * 4
+    batch = b.batch(b.overlapping(0, 0, 100))
+    assert batch.n == 4
+    assert batch.refpos[0, 0] == 0 and batch.refpos[0, 99] == 99
+
+
+def test_bam_nh_tag():
+    b = BamFile(f"{FIX}/NH.bam")
+    assert (b.nh > 1).any() or (b.nh == -1).all() or True
+    # NH.bam's reads carry NH tags; at least one must be >1 (multimapper test)
+    assert (b.nh > 1).any()
+
+
+def test_cigar_expansion_indels():
+    from methyldackel_tpu.io.bam import _expand_cigar
+
+    # 5S10M2D3M1I4M: read length 5+10+3+1+4=23
+    ops = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4}
+    cigar = np.array(
+        [(5 << 4) | ops["S"], (10 << 4) | ops["M"], (2 << 4) | ops["D"],
+         (3 << 4) | ops["M"], (1 << 4) | ops["I"], (4 << 4) | ops["M"]],
+        dtype=np.uint32,
+    )
+    refpos, endpos = _expand_cigar(cigar, 100, 23)
+    assert list(refpos[:5]) == [-1] * 5
+    assert list(refpos[5:15]) == list(range(100, 110))
+    assert list(refpos[15:18]) == [112, 113, 114]  # after 2D
+    assert refpos[18] == -1  # insertion
+    assert list(refpos[19:23]) == [115, 116, 117, 118]
+    assert endpos == 100 + 10 + 2 + 3 + 4
+
+
+def test_fasta_fetch():
+    f = FastaFile(f"{FIX}/cg100.fa")
+    assert f.seq_len("chrCG") == 100
+    s = f.fetch("chrCG", 0, 3)
+    assert bytes(s) == b"CGCG"[:4][:len(s)]
+    # closed-interval, clamped at contig end
+    tail = f.fetch("chrCG", 98, 200)
+    assert len(tail) == 2
+    assert f.fetch("nope", 0, 10) is None
+    assert f.fetch("chrCG", 150, 200).size == 0
+
+
+def test_bbm_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    # mixture of runs and singles, including a >155 run and a >65535 run
+    vals = np.concatenate([
+        np.full(200, 7, np.uint8),
+        rng.randint(0, 101, 50).astype(np.uint8),
+        np.full(70000, 100, np.uint8),
+        np.full(3, 55, np.uint8),
+    ])
+    path = tmp_path / "t.bbm"
+    write_bbm(str(path), ["chr1"], [len(vals)], [vals])
+    names, lengths, out = read_bbm(str(path))
+    assert names == ["chr1"] and lengths == [len(vals)]
+    np.testing.assert_array_equal(out[0], vals)
+
+
+def test_bbm_quantize_matches_c():
+    raw = np.array([0.0, 0.004, 0.005, 0.5, 1.0, np.nan])
+    q = quantize(raw)
+    # (char)((v*100)+0.5): 0, 0(0.9 trunc→0)... 0.004*100+0.5=0.9→0;
+    # 0.005*100+0.5=1.0→1; 50.5→50; 100.5→100; NaN→0
+    assert list(q) == [0, 0, 1, 50, 100, 0]
