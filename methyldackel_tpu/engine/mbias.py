@@ -1,0 +1,235 @@
+"""mbias subcommand: per-read-cycle methylation bias (MBias.c).
+
+The per-thread strandMeth counters + post-join merge of the reference
+(MBias.c:57-230, 541-552) become a single [4 strands, 2 reads, 2 states,
+max_cycle] counter tensor accumulated across genome windows — the window
+accumulation is associative, so the TPU backend can psum-merge shard-local
+counters (SURVEY §2, parallelism checklist).
+Deliberately no mate-overlap arbitration (MBias.c:160).
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..config import Config, c_atoi, c_atof, parse_bounds
+from ..io.bam import BamFile
+from ..io.fasta import FastaFile
+from ..io import bed as bedio
+from ..ops import semantics as sem
+from .extract import BedState, prepare_window_reads, bed_coverage
+from .scheduler import windows, parse_region
+from . import svg
+
+
+def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
+    """Run the window loop and return the merged [4,2,2,L] uint64 counters."""
+    hdr = bam.header
+    max_len = int(bam.l_qseq.max()) if bam.n_reads else 0
+    counters = np.zeros((4, 2, 2, max_len), dtype=np.uint64)
+    bed_state = BedState()
+    keep_ctx = (cfg.keepCpG, cfg.keepCHG, cfg.keepCHH)
+
+    for tid, lpos, lend in windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos, g_end):
+        name = hdr.names[tid]
+        if cfg.bed is not None:
+            ok, bed_state.col_idx = bedio.span_overlaps_bed(
+                tid, lpos, lend, cfg.bed, bed_state.col_idx
+            )
+            if ok != 1:
+                continue
+        # mbias fetches [localPos, localEnd] closed with no left slack
+        # (MBias.c:147), unlike extract's localPos-2 .. +10 window.
+        ref_window = fasta.fetch(name, lpos, lend)
+        if ref_window is None or len(ref_window) == 0:
+            sys.stderr.write(
+                f"faidx_fetch_seq returned -2 while trying to fetch the sequence "
+                f"for tid {name}:{lpos}-{lend}!\nNote that the output will be truncated!\n"
+            )
+            return counters
+
+        idx = bam.overlapping(tid, lpos, lend)
+        batch = bam.batch(idx)
+        strand_arr = sem.strand(batch.flag, batch.xg)
+        keep = prepare_window_reads(cfg, bam, batch, strand_arr, tid, bed_state,
+                                    ref_window, lpos)
+        kidx = np.nonzero(keep)[0]
+        if not len(kidx):
+            continue
+        seq = batch.seq[kidx]
+        qual = batch.qual[kidx]
+        refpos = batch.refpos[kidx]
+        st = strand_arr[kidx]
+        flag = batch.flag[kidx]
+
+        keep_base = np.ones(seq.shape, dtype=bool)
+        if cfg.bed is not None:
+            covered, rstrand, bed_state.col_idx = bed_coverage(
+                cfg.bed, tid, lpos, lend, bed_state.col_idx
+            )
+            safe = np.clip(refpos - lpos, 0, lend - lpos - 1)
+            keep_base &= covered[safe]
+            rs = rstrand[safe]
+            odd = (st.astype(np.int64) & 1)[:, None] == 1
+            keep_base &= (rs == 0) | ((rs == 1) & odd) | ((rs == 2) & ~odd)
+
+        counters += sem.mbias_counters(
+            seq, qual, refpos, st, flag, keep_base, ref_window, lpos,
+            lpos, lend, keep_ctx, cfg.minPhred, max_len,
+        )
+    return counters
+
+
+def counters_to_strandmeths(counters: np.ndarray):
+    """Split the merged tensor into per-strand StrandMeth views with the
+    reference's `l` semantics (highest used cycle + 1, MBias.c:212)."""
+    meths = []
+    for s in range(4):
+        c = counters[s]
+        nz = np.nonzero(c.sum(axis=(0, 1)))[0]
+        l = int(nz[-1]) + 1 if len(nz) else 0
+        meths.append(svg.StrandMeth(c, l))
+    return meths
+
+
+_MBIAS_LOPTS = [
+    ("noCpG", 0, 1), ("CHG", 0, 2), ("CHH", 0, 3), ("keepDupes", 0, 4),
+    ("keepSingleton", 0, 5), ("keepDiscordant", 0, 6), ("txt", 0, 7),
+    ("noSVG", 0, 8), ("nOT", 1, 9), ("nOB", 1, 10), ("nCTOT", 1, 11),
+    ("nCTOB", 1, 12), ("chunkSize", 1, 13), ("keepStrand", 0, 14),
+    ("minConversionEfficiency", 1, 15), ("ignoreNH", 0, 16),
+    ("ignoreFlags", 1, "F"), ("requireFlags", 1, "R"), ("help", 0, "h"),
+    ("version", 0, "v"),
+]
+
+
+def mbias_usage():
+    sys.stderr.write(
+        "\nUsage: methyldackel-tpu mbias [OPTIONS] <ref.fa> <sorted_alignments.bam> "
+        "<output.prefix>\n\n"
+        "Produce per-strand methylation-bias SVGs (and/or --txt tables) by read\n"
+        "cycle, with suggested --OT/--OB/--CTOT/--CTOB inclusion bounds.\n"
+        "Options: -q, -p, -r, -l (--keepStrand), -F, -R, -@, --chunkSize,\n"
+        "--noCpG/--CHG/--CHH, --keepDupes/--keepSingleton/--keepDiscordant,\n"
+        "--nOT/--nOB/--nCTOT/--nCTOB, --minConversionEfficiency, --ignoreNH,\n"
+        "--txt, --noSVG.\n"
+    )
+
+
+def mbias_main(argv) -> int:
+    from ..cli import getopt_long, GetoptError, print_version
+
+    cfg = Config()
+    SVG, txt = 1, 0
+    try:
+        opts, pos = getopt_long(argv, "hvq:p:r:l:D:F:@:", _MBIAS_LOPTS)
+    except GetoptError as e:
+        sys.stderr.write(f"Invalid option '{e}'\n")
+        mbias_usage()
+        return 1
+    for key, val in opts:
+        if key == "h":
+            mbias_usage()
+            return 0
+        elif key == "v":
+            print_version()
+            return 0
+        elif key == "D":
+            pass
+        elif key == "r":
+            cfg.reg = val
+        elif key == "l":
+            cfg.bedName = val
+        elif key == 1:
+            cfg.keepCpG = 0
+        elif key == 2:
+            cfg.keepCHG = 1
+        elif key == 3:
+            cfg.keepCHH = 1
+        elif key == 4:
+            cfg.keepDupes = 1
+        elif key == 5:
+            cfg.keepSingleton = 1
+        elif key == 6:
+            cfg.keepDiscordant = 1
+        elif key == 7:
+            txt = 1
+        elif key == 8:
+            SVG = 0
+            txt = 1
+        elif key in (9, 10, 11, 12):
+            parse_bounds(val, cfg.absoluteBounds, key - 9)
+        elif key == 13:
+            cfg.chunkSize = c_atoi(val)
+            if cfg.chunkSize < 1:
+                sys.stderr.write("Error: The chunk size must be at least 1!\n")
+                return 1
+        elif key == 14:
+            cfg.keepStrand = 1
+        elif key == 15:
+            cfg.minConversionEfficiency = c_atof(val)
+        elif key == 16:
+            cfg.ignoreNH = 1
+        elif key == "F":
+            cfg.ignoreFlags = c_atoi(val)
+        elif key == "R":
+            cfg.requireFlags = c_atoi(val)
+        elif key == "q":
+            cfg.minMapq = c_atoi(val)
+        elif key == "p":
+            cfg.minPhred = c_atoi(val)
+        elif key == "@":
+            cfg.nThreads = c_atoi(val)
+
+    if not argv:
+        mbias_usage()
+        return 0
+    if (SVG and len(pos) != 3) or (not SVG and len(pos) < 2):
+        sys.stderr.write(
+            "You must supply a reference genome in fasta format, an input BAM "
+            "file, and an output prefix!!!\n"
+        )
+        mbias_usage()
+        return -1
+    if cfg.minPhred < 1:
+        sys.stderr.write(
+            f"-p {cfg.minPhred} is invalid. resetting to 1, which is the lowest possible value.\n"
+        )
+        cfg.minPhred = 1
+    if cfg.minMapq < 0:
+        sys.stderr.write(
+            f"-q {cfg.minMapq} is invalid. Resetting to 0, which is the lowest possible value.\n"
+        )
+        cfg.minMapq = 0
+    if not (cfg.keepCpG + cfg.keepCHG + cfg.keepCHH):
+        sys.stderr.write(
+            "You haven't specified any metrics to output!\nEither don't use the "
+            "--noCpG option or specify --CHG and/or --CHH.\n"
+        )
+        return -1
+
+    cfg.FastaName = pos[0]
+    cfg.BAMName = pos[1]
+    opref = pos[2] if SVG else None
+
+    bam = BamFile(cfg.BAMName)
+    fasta = FastaFile(cfg.FastaName)
+    hdr = bam.header
+    g_tid = g_pos = g_end = 0
+    if cfg.reg:
+        g_tid, g_pos, g_end = parse_region(cfg.reg, hdr)
+    if cfg.bedName:
+        cfg.bed = bedio.parse_bed(cfg.bedName, hdr, cfg.keepStrand)
+        if cfg.bed is None:
+            sys.stderr.write("There was an error while reading in your BED file!\n")
+            return 1
+        sys.stderr.write(f"Parsed {cfg.bed.n} regions in {cfg.bedName}\n")
+
+    counters = compute_mbias(cfg, bam, fasta, g_tid, g_pos, g_end)
+    meths = counters_to_strandmeths(counters)
+    if SVG:
+        svg.make_svgs(opref, meths, cfg.keepCpG + 2 * cfg.keepCHG + 4 * cfg.keepCHH)
+    if txt:
+        svg.make_txt(meths)
+    return 0

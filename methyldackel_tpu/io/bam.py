@@ -115,6 +115,9 @@ class BamFile:
         flags, tids, poss, mapqs, lqs = [], [], [], [], []
         mtids, mposs, endposs, xgs, nhs = [], [], [], [], []
         seq_parts, qual_parts, refpos_parts = [], [], []
+        cigar_parts = []
+        cigar_offsets = [0]
+        cigar_total = 0
         offsets = [0]
         total = 0
         n = len(data)
@@ -154,6 +157,9 @@ class BamFile:
             seq_parts.append(seq)
             qual_parts.append(qual)
             refpos_parts.append(refpos)
+            cigar_parts.append(cigar)
+            cigar_total += len(cigar)
+            cigar_offsets.append(cigar_total)
             total += l_seq
             offsets.append(total)
             p = rec_end
@@ -174,6 +180,10 @@ class BamFile:
         self.qual_flat = np.concatenate(qual_parts) if qual_parts else np.zeros(0, np.uint8)
         self.refpos_flat = (
             np.concatenate(refpos_parts) if refpos_parts else np.zeros(0, np.int64)
+        )
+        self.cigar_offsets = np.asarray(cigar_offsets, dtype=np.int64)
+        self.cigar_flat = (
+            np.concatenate(cigar_parts) if cigar_parts else np.zeros(0, np.uint32)
         )
 
         # Coordinate-sorted processing order (stable: preserves file order at
@@ -230,6 +240,16 @@ class BamFile:
             qual=qual,
             refpos=refpos,
         )
+
+
+    def cigar(self, i: int) -> np.ndarray:
+        """Raw CIGAR ops for read i (uint32 op-words, htslib encoding)."""
+        return self.cigar_flat[self.cigar_offsets[i] : self.cigar_offsets[i + 1]]
+
+    def read_arrays(self, i: int):
+        """(seq_codes, quals, refpos) ragged views for read i."""
+        o0, o1 = self.offsets[i], self.offsets[i + 1]
+        return self.seq_flat[o0:o1], self.qual_flat[o0:o1], self.refpos_flat[o0:o1]
 
 
 def _nibble_lut() -> np.ndarray:

@@ -1,0 +1,78 @@
+"""mbias / perRead / mergeContext end-to-end checks."""
+import os
+import subprocess
+import sys
+
+ENV = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+           MDTPU_ENGINE=os.environ.get("MDTPU_ENGINE", "host"))
+
+
+def md(args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "methyldackel_tpu.cli"] + args,
+        cwd=cwd, env=ENV, capture_output=True, text=True,
+    )
+
+
+def test_mbias_txt(fixture_dir):
+    r = md(["mbias", "--noSVG", "cg100.fa", "cg_aln.bam", "-q", "2"], fixture_dir)
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0] == "Strand\tRead\tPosition\tnMethylated\tnUnmethylated"
+    # both mates are OT; cycle 1 (1-based) is a methylated C on each
+    assert lines[1] == "OT\t1\t1\t1\t0"
+    assert lines[2] == "OT\t2\t1\t1\t0"
+    # read1 cycle 17 is a T (unmethylated), read2 a C — no overlap handling
+    r1 = [l for l in lines if l.startswith("OT\t1\t17\t")]
+    r2 = [l for l in lines if l.startswith("OT\t2\t17\t")]
+    assert r1 == ["OT\t1\t17\t0\t1"]
+    assert r2 == ["OT\t2\t17\t1\t0"]
+
+
+def test_mbias_svg(fixture_dir):
+    r = md(["mbias", "cg100.fa", "cg_aln.bam", "mb", "-q", "2"], fixture_dir)
+    assert r.returncode == 0, r.stderr
+    assert "Suggested inclusion options:" in r.stderr
+    svg = open(fixture_dir / "mb_OT.svg").read()
+    assert svg.startswith('<svg height="660" width="660"')
+    assert svg.rstrip().endswith("</svg>")
+    assert "Original Top Strand" in svg
+    assert not os.path.exists(fixture_dir / "mb_OB.svg")  # no OB data
+
+
+def test_perread(fixture_dir):
+    r = md(["perRead", "cg100.fa", "cg_aln.bam", "-q", "2"], fixture_dir)
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    # default ignoreFlags=0 in perRead → all 4 reads reported
+    assert len(lines) == 4
+    assert lines[0] == "read1\tchrCG\t0\t97.959184\t49"
+    assert lines[1] == "read1\tchrCG\t0\t100.000000\t49"
+
+
+def test_perread_mapq(fixture_dir):
+    r = md(["perRead", "cg100.fa", "cg_aln.bam", "-q", "10"], fixture_dir)
+    assert r.stdout == ""
+
+
+def test_merge_context(fixture_dir):
+    md(["extract", "cg100.fa", "cg_aln.bam", "-q", "2", "-o", "mc"], fixture_dir)
+    r = md(["mergeContext", "cg100.fa", "mc_CpG.bedGraph"], fixture_dir)
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0] == 'track type="bedGraph" description="merged Methylation metrics"'
+    assert lines[1] == "chrCG\t0\t2\t100\t1\t0"
+    for line in lines[1:]:
+        f = line.split("\t")
+        assert int(f[2]) - int(f[1]) == 2
+
+
+def test_merge_context_matches_merge_flag(fixture_dir):
+    """extract --mergeContext ≡ extract | mergeContext on CpG data."""
+    md(["extract", "--mergeContext", "cg100.fa", "cg_aln.bam", "-q", "2", "-o", "m1"],
+       fixture_dir)
+    md(["extract", "cg100.fa", "cg_aln.bam", "-q", "2", "-o", "m2"], fixture_dir)
+    r = md(["mergeContext", "cg100.fa", "m2_CpG.bedGraph"], fixture_dir)
+    a = open(fixture_dir / "m1_CpG.bedGraph").read().splitlines()[1:]
+    b = r.stdout.splitlines()[1:]
+    assert a == b
