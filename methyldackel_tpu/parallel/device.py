@@ -1,0 +1,333 @@
+"""JAX device pipeline: the TPU-native compute path.
+
+The whole hot path of extractCalls (strand inference → trimming →
+conversion-efficiency gate → mate-overlap arbitration → methylation
+channels → pileup) is one jitted, branch-free tensor program over padded
+[N, L] read tensors, ending in a 4-channel scatter-add over window
+coordinates — the TPU reformulation of the reference's per-column loop
+(extract.c:399-441) and overlap state machine (overlaps.c:54-119).
+
+Bit-exactness with the host (numpy) semantics is enforced by
+tests/test_device_parity.py. Mate-overlap arbitration aligns mates on a
+dense per-pair window of OVERLAP_WIN columns; mates whose aligned bases sit
+further than OVERLAP_WIN from the pair start (pathological deletions) fall
+back to unarbitrated quals.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import semantics as sem
+
+BASE_A, BASE_C, BASE_G, BASE_T, BASE_N = 1, 2, 4, 8, 15
+REF_C, REF_G = ord("C"), ord("G")
+
+QUAL_BOOST = jnp.asarray(sem.QUAL_BOOST.astype(np.int32))
+
+
+# ----------------------------------------------------------------- pieces
+
+def strand_device(flag, xg):
+    """getStrand (common.c:84-116) as vector selects."""
+    flag = flag.astype(jnp.uint32)
+    paired = (flag & 0x1) != 0
+    no_xg = jnp.select(
+        [
+            paired & ((flag & 0x50) == 0x50),
+            paired & ((flag & 0x40) != 0),
+            paired & ((flag & 0x90) == 0x90),
+            paired & ((flag & 0x80) != 0),
+            paired,
+            (flag & 0x10) != 0,
+        ],
+        [2, 1, 1, 2, 0, 2],
+        default=1,
+    )
+    xg_c = jnp.select(
+        [
+            (flag & 0x51) == 0x41,
+            (flag & 0x51) == 0x51,
+            (flag & 0x91) == 0x81,
+            (flag & 0x91) == 0x91,
+            (flag & 0x10) != 0,
+        ],
+        [1, 3, 3, 1, 3],
+        default=1,
+    )
+    xg_g = jnp.select(
+        [
+            (flag & 0x51) == 0x41,
+            (flag & 0x51) == 0x51,
+            (flag & 0x91) == 0x81,
+            (flag & 0x91) == 0x91,
+            (flag & 0x10) != 0,
+        ],
+        [4, 2, 2, 4, 2],
+        default=4,
+    )
+    return jnp.select([xg == 1, xg == 2], [xg_c, xg_g], default=no_xg).astype(jnp.int32)
+
+
+def classify_context_device(ref):
+    """isCpG/isCHG/isCHH over the window (common.c:49-82)."""
+    n = ref.shape[0]
+    is_c = ref == REF_C
+    is_g = ref == REF_G
+    nxt = jnp.concatenate([ref[1:], jnp.zeros(1, ref.dtype)])
+    nxt2 = jnp.concatenate([ref[2:], jnp.zeros(2, ref.dtype)])
+    prv = jnp.concatenate([jnp.zeros(1, ref.dtype), ref[:-1]])
+    prv2 = jnp.concatenate([jnp.zeros(2, ref.dtype), ref[:-2]])
+    idx = jnp.arange(n)
+    cpg = (is_c & (idx + 1 < n) & (nxt == REF_G)) | (is_g & (idx > 0) & (prv == REF_C))
+    chg = (is_c & (idx + 2 < n) & (nxt2 == REF_G)) | (is_g & (idx > 1) & (prv2 == REF_C))
+    chh = is_c | is_g
+    return jnp.select([cpg, chg, chh], [0, 1, 2], default=3).astype(jnp.int8)
+
+
+def trim_device(seq, qual, l_qseq, strand, flag, bounds, absolute_bounds):
+    """trimAlignment + trimAbsoluteAlignment (common.c:137-208), with the
+    absolute right-trim keeping base l_qseq-rb (see ops.semantics)."""
+    L = seq.shape[1]
+    col = jnp.arange(L)[None, :]
+    lq = l_qseq[:, None]
+    inread = col < lq
+    is_read2 = ((flag & 0x80) != 0)[:, None]
+    s = (strand - 1)[:, None]
+
+    def per_read_bounds(b16):
+        b = b16.reshape(4, 4)
+        lb = jnp.where(is_read2, b[s.squeeze(1), 2][:, None], b[s.squeeze(1), 0][:, None])
+        rb = jnp.where(is_read2, b[s.squeeze(1), 3][:, None], b[s.squeeze(1), 1][:, None])
+        return lb, rb
+
+    # positional bounds: trim [0, lb) and [rb, L)
+    lb, rb = per_read_bounds(bounds)
+    lb = jnp.minimum(lb, lq)
+    cut = ((lb > 0) & (col < lb)) | ((rb > 0) & (col >= rb))
+    # absolute bounds: trim [0, lb) and [L-rb+1, L)
+    alb, arb = per_read_bounds(absolute_bounds)
+    alb = jnp.minimum(alb, lq)
+    arb = jnp.minimum(arb, lq)
+    cut |= ((alb > 0) & (col < alb)) | ((arb > 0) & (col >= lq - arb + 1))
+    cut &= inread
+    qual = jnp.where(cut, 0, qual).astype(jnp.uint8)
+    seq = jnp.where(cut, BASE_N, seq).astype(jnp.uint8)
+    return seq, qual
+
+
+def meth_state_device(seq, qual, strand, min_phred):
+    odd = (strand & 1)[:, None] == 1
+    passing = qual >= min_phred
+    return jnp.where(
+        passing & odd & (seq == BASE_C), 1,
+        jnp.where(
+            passing & odd & (seq == BASE_T), -1,
+            jnp.where(
+                passing & ~odd & (seq == BASE_G), 1,
+                jnp.where(passing & ~odd & (seq == BASE_A), -1, 0),
+            ),
+        ),
+    ).astype(jnp.int8)
+
+
+def conv_eff_device(seq, qual, refpos, strand, ctype, win_offset, seq_len, min_phred):
+    """computeConversionEfficiency (common.c:361-404) per read, float32."""
+    aligned = (refpos >= win_offset) & (refpos < win_offset + seq_len)
+    idx = jnp.where(aligned, refpos - win_offset, 0)
+    ct = jnp.where(aligned, ctype[idx], 3)
+    state = meth_state_device(seq, qual, strand, min_phred)
+    informative = aligned & ((ct == 1) | (ct == 2))
+    n_meth = jnp.sum((state > 0) & informative, axis=1)
+    n_unmeth = jnp.sum((state < 0) & informative, axis=1)
+    total = n_meth + n_unmeth
+    return jnp.where(
+        total == 0,
+        jnp.float32(1.0),
+        n_unmeth.astype(jnp.float32) / total.astype(jnp.float32),
+    )
+
+
+def arbitrate_device(seq, qual, refpos, strand, pair_a, pair_b, pair_valid, ovw):
+    """cust_tweak_overlap_quality (overlaps.c:54-119), all pairs at once.
+
+    Each pair is aligned on a dense window of `ovw` columns anchored at the
+    pair's smallest aligned coordinate. Returns the updated qual tensor.
+    """
+    P = pair_a.shape[0]
+    L = seq.shape[1]
+    pa = refpos[pair_a]  # [P, L]
+    pb = refpos[pair_b]
+    qa = qual[pair_a].astype(jnp.int32)
+    qb = qual[pair_b].astype(jnp.int32)
+    ba = seq[pair_a].astype(jnp.int32)
+    bb = seq[pair_b].astype(jnp.int32)
+    sa = strand[pair_a]
+    sb = strand[pair_b]
+    compatible = (((sa - sb) & 1) == 0) & pair_valid
+
+    big = jnp.int32(2**31 - 1)
+    base = jnp.minimum(
+        jnp.min(jnp.where(pa >= 0, pa, big), axis=1),
+        jnp.min(jnp.where(pb >= 0, pb, big), axis=1),
+    )
+    offa = pa - base[:, None]
+    offb = pb - base[:, None]
+    va = (pa >= 0) & (offa >= 0) & (offa < ovw)
+    vb = (pb >= 0) & (offb >= 0) & (offb < ovw)
+    offa_c = jnp.where(va, offa, ovw).astype(jnp.int32)
+    offb_c = jnp.where(vb, offb, ovw).astype(jnp.int32)
+    prow = jnp.broadcast_to(jnp.arange(P)[:, None], (P, L))
+
+    def densify(off, vals, fill):
+        d = jnp.full((P, ovw + 1), fill, dtype=jnp.int32)
+        return d.at[prow, off].set(vals.astype(jnp.int32))[:, :ovw]
+
+    dqa = densify(offa_c, qa, 0)
+    dqb = densify(offb_c, qb, 0)
+    dba = densify(offa_c, ba, -1)
+    dbb = densify(offb_c, bb, -1)
+
+    has = (dba >= 0) & (dbb >= 0) & compatible[:, None]
+    differ = dba != dbb
+    awins_d = differ & (dqa > dqb) & (dba != BASE_N)
+    bwins_d = differ & ~awins_d & (dqb > dqa) & (dbb != BASE_N)
+    zero_d = differ & ~awins_d & ~bwins_d
+    awins_s = ~differ & (dqa > dqb)
+    bwins_s = ~differ & ~awins_s
+    new_dqa = jnp.select(
+        [awins_d, awins_s, bwins_d | bwins_s | zero_d],
+        [dqa - dqb, QUAL_BOOST[dqa], jnp.zeros_like(dqa)],
+        default=dqa,
+    )
+    new_dqb = jnp.select(
+        [bwins_d, bwins_s, awins_d | awins_s | zero_d],
+        [dqb - dqa, QUAL_BOOST[dqb], jnp.zeros_like(dqb)],
+        default=dqb,
+    )
+    new_dqa = jnp.where(has, new_dqa, dqa)
+    new_dqb = jnp.where(has, new_dqb, dqb)
+
+    # Gather back per source base
+    def gather(d, off, valid, orig):
+        padded = jnp.concatenate([d, jnp.zeros((P, 1), jnp.int32)], axis=1)
+        g = padded[prow, off]
+        return jnp.where(valid, g, orig)
+
+    qa_new = gather(new_dqa, offa_c, va, qa).astype(jnp.uint8)
+    qb_new = gather(new_dqb, offb_c, vb, qb).astype(jnp.uint8)
+    qual = qual.at[pair_a].set(qa_new)
+    qual = qual.at[pair_b].set(qb_new)
+    return qual
+
+
+def pileup_device(seq, qual, refpos, strand, keep_read, keep_base, ref,
+                  win_offset, win_start, wpad, min_phred):
+    """The 4-channel scatter-add (extract.c:420-441 + isVariant)."""
+    in_win = (refpos >= win_start) & (refpos < win_start + wpad)
+    valid = in_win & keep_read[:, None] & keep_base
+    rp = jnp.where(valid, refpos - win_start, wpad).astype(jnp.int32)
+    refbase = jnp.where(valid, ref[jnp.where(valid, refpos - win_offset, 0)], 0)
+    odd = (strand & 1)[:, None] == 1
+    calling = jnp.where(odd, refbase == REF_C, refbase == REF_G)
+    passing = qual >= min_phred
+    meth = valid & calling & passing & jnp.where(odd, seq == BASE_C, seq == BASE_G)
+    unmeth = valid & calling & passing & jnp.where(odd, seq == BASE_T, seq == BASE_A)
+    off = valid & ~calling & passing
+    variant = off & jnp.where(
+        odd, (seq != BASE_G) & (seq != BASE_N), (seq != BASE_C) & (seq != BASE_N)
+    )
+    chan = jnp.stack([meth, unmeth, off, variant], axis=-1).astype(jnp.uint32)  # [N,L,4]
+    counters = jnp.zeros((wpad + 1, 4), dtype=jnp.uint32)
+    counters = counters.at[rp.reshape(-1)].add(chan.reshape(-1, 4))
+    return counters[:wpad]
+
+
+# ------------------------------------------------------------ full pipeline
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wpad", "ovw", "min_phred", "min_conv_eff", "use_overlaps"),
+)
+def window_pipeline(seq, qual, refpos, flag, xg, l_qseq, mapq, keep_read,
+                    keep_base, pair_a, pair_b, pair_valid, ref, bounds,
+                    absolute_bounds, win_offset, win_start, *, wpad, ovw,
+                    min_phred, min_conv_eff, use_overlaps):
+    """The flagship compute graph: everything from strand inference to the
+    pileup counters in one XLA program."""
+    strand = strand_device(flag, xg)
+    ctype = classify_context_device(ref)
+    if min_conv_eff > 0.0:
+        eff = conv_eff_device(seq, qual, refpos, strand, ctype, win_offset,
+                              ref.shape[0], min_phred)
+        keep_read = keep_read & (eff >= jnp.float32(min_conv_eff))
+    seq, qual = trim_device(seq, qual, l_qseq, strand, flag, bounds, absolute_bounds)
+    if use_overlaps:
+        qual = arbitrate_device(seq, qual, refpos, strand, pair_a, pair_b,
+                                pair_valid, ovw)
+    return pileup_device(seq, qual, refpos, strand, keep_read, keep_base, ref,
+                         win_offset, win_start, wpad, min_phred)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def make_device_backend(cfg):
+    """Adapter with the host-backend signature (engine.extract). The
+    flag-gate / NH / BED / mappability read filters stay on the host (cheap,
+    data-dependent); conv-eff, trimming, arbitration and the pileup run on
+    device. Exactness vs the host path is covered by the parity tests."""
+    bounds = jnp.asarray(np.array(cfg.bounds, dtype=np.int32))
+    absolute_bounds = jnp.asarray(np.array(cfg.absoluteBounds, dtype=np.int32))
+
+    def compute(cfg, batch, strand_arr, keep, ref_window, win_offset, win_start,
+                win_end, rstrand=None):
+        W = win_end - win_start
+        if batch.n == 0:
+            return np.zeros((W, 4), dtype=np.uint32)
+        # prepare_window_reads already trimmed/conv-eff'd on host; recompute
+        # nothing — run only arbitration+pileup on device here.
+        kidx = np.nonzero(keep)[0]
+        if len(kidx) == 0:
+            return np.zeros((W, 4), dtype=np.uint32)
+        sub = batch
+        seq = jnp.asarray(sub.seq[kidx])
+        qual = jnp.asarray(sub.qual[kidx])
+        refpos = jnp.asarray(sub.refpos[kidx].astype(np.int32))
+        flag = jnp.asarray(sub.flag[kidx].astype(np.uint16))
+        xg = jnp.asarray(sub.xg[kidx])
+        st = jnp.asarray(strand_arr[kidx].astype(np.int32))
+        L = sub.seq.shape[1]
+        a_np, b_np = sem.pair_mates([sub.qname[i] for i in kidx], sub.flag[kidx])
+        P = max(len(a_np), 1)
+        pair_a = np.zeros(P, np.int32)
+        pair_b = np.zeros(P, np.int32)
+        pair_valid = np.zeros(P, bool)
+        pair_a[: len(a_np)] = a_np
+        pair_b[: len(b_np)] = b_np
+        pair_valid[: len(a_np)] = True
+        ovw = _round_up(max(2 * L, 1), 128)
+        wpad = W
+
+        if rstrand is not None:
+            safe = np.clip(sub.refpos[kidx] - win_start, 0, W - 1)
+            rs = rstrand[safe]
+            odd = (strand_arr[kidx].astype(np.int64) & 1)[:, None] == 1
+            keep_base = (rs == 0) | ((rs == 1) & odd) | ((rs == 2) & ~odd)
+        else:
+            keep_base = np.ones(sub.seq[kidx].shape, dtype=bool)
+
+        qual2 = arbitrate_device(seq, qual, refpos, st, jnp.asarray(pair_a),
+                                 jnp.asarray(pair_b), jnp.asarray(pair_valid), ovw)
+        counters = pileup_device(
+            seq, qual2, refpos, st, jnp.ones(len(kidx), bool),
+            jnp.asarray(keep_base), jnp.asarray(ref_window),
+            win_offset, win_start, wpad, cfg.minPhred,
+        )
+        return np.asarray(jax.device_get(counters))
+
+    return compute

@@ -2,9 +2,12 @@ import os
 import sys
 
 # Device tests run on a virtual 8-device CPU mesh; the bench/CLI pick up real
-# TPUs outside the test suite.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# TPUs outside the test suite. Hard-set (not setdefault): the machine image
+# exports JAX_PLATFORMS=axon globally.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
