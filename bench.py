@@ -86,7 +86,7 @@ def bench_pallas(batch, ref_ascii, W, iters):
     import jax.numpy as jnp
     from methyldackel_tpu.ops import semantics as sem
     from methyldackel_tpu.ops import pileup_pallas as pk
-    from methyldackel_tpu.parallel.device import arbitrate_prealigned, strand_device
+    from methyldackel_tpu.ops import arbitrate_pallas as ak
 
     n = batch.n
     L = batch.seq.shape[1]
@@ -119,35 +119,51 @@ def bench_pallas(batch, ref_ascii, W, iters):
     GMAX = max(pk._round_up(int(cntk.max()) + 32, 32), 64)
     seq_sorted = np.concatenate([seq_a[perm], np.zeros((GMAX, LP2), np.uint8)])
 
-    max_shift = (L + 127) // 128
-    seq_adj_d = jnp.asarray(seq_a)
+    max_shift = min((L + 127) // 128, 2)
+    # split-mate layout for the Pallas arbitration kernel
+    sa, qa0, sb, qb0 = (np.ascontiguousarray(x) for x in
+                        ak.prepare_pairs(seq_a, qual_a, aligned, stc, flag,
+                                         max_shift)[:4])
+    P = n // 2
+    PB = 256
+    P_pad = ((P + PB - 1) // PB) * PB
+    def padP(x):
+        out = np.zeros((P_pad, LP2), x.dtype)
+        out[:P] = x
+        return out
+    sa, qa0, sb, qb0 = padP(sa), padP(qa0), padP(sb), padP(qb0)
+    # sorted-row r came from orig row perm[r] = (pair, mate); in the
+    # concat(A, B) layout that's mate*P_pad + pair
+    gather_idx = ((perm % 2) * P_pad + perm // 2).astype(np.int32)
+
     seq_sorted_d = jnp.asarray(seq_sorted)
-    qual_d = jnp.asarray(qual_a)
-    perm_d = jnp.asarray(perm.astype(np.int32))
-    aligned_d = jnp.asarray(aligned.astype(np.int32))
-    st_d = jnp.asarray(stc.astype(np.int32))
-    flag_d = jnp.asarray(flag.astype(np.uint16))
+    sa_d = jnp.asarray(sa)
+    sb_d = jnp.asarray(sb)
+    qa_d = jnp.asarray(qa0)
+    qb_d = jnp.asarray(qb0)
+    gather_d = jnp.asarray(gather_idx)
     ref_d = jnp.asarray(ref_ascii)
     srtk_d = jnp.asarray(srtk)
     cntk_d = jnp.asarray(cntk)
     pad_block = jnp.zeros((GMAX, LP2), jnp.uint8)
 
     @jax.jit
-    def step(qual_dev):
-        q2 = arbitrate_prealigned(seq_adj_d, qual_dev, aligned_d, st_d, flag_d,
-                                  max_shift)
-        q_sorted = jnp.concatenate([jnp.take(q2, perm_d, axis=0), pad_block])
+    def step(qa_dev, qb_dev):
+        na, nb = ak.arbitrate_pallas(sa_d, qa_dev, sb_d, qb_dev,
+                                     PB=PB, LP2=LP2, max_shift=max_shift)
+        q_all = jnp.concatenate([na, nb], axis=0)
+        q_sorted = jnp.concatenate([jnp.take(q_all, gather_d, axis=0), pad_block])
         tiles = pk._pileup_tiles(srtk_d, cntk_d, seq_sorted_d, q_sorted,
                                  ntiles=ntiles, T=T, HALO_L=HALO_L, LP=LP,
                                  LP2=LP2, K=K, GMAX=GMAX, min_phred=5)
         counts = tiles.transpose(0, 2, 1).reshape(wpad, 16)[:W]
         return pk.counts_to_channels(counts, ref_d, 0, W)
 
-    out = step(qual_d)
+    out = step(qa_d, qb_d)
     out.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(qual_d)
+        out = step(qa_d, qb_d)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 

@@ -66,58 +66,66 @@ def prealign_reads(seq, qual, pos_rel, strand):
 def _kernel(srtk_ref, cntk_ref, seq_hbm, qual_hbm, out_ref,
             seq_v, qual_v, acc, sems, *, T, HALO_L, LP, LP2, K, GMAX,
             min_phred):
+    """One grid step = one window tile; the K offset-groups are processed by
+    an unrolled in-kernel loop with double-buffered DMAs."""
     t = pl.program_id(0)
-    k = pl.program_id(1)
-    idx = t * K + k
-    srt = srtk_ref[idx]
-    gcnt = cntk_ref[idx]
-    # DMA row offsets must be tile-aligned (u8 tiling 32 / i32 tiling 8):
-    # round down and mask the leading remainder rows instead.
-    base = pl.multiple_of((srt // 32) * 32, 32)
-    rem = srt - base
 
-    cp_seq = pltpu.make_async_copy(seq_hbm.at[pl.ds(base, GMAX)], seq_v, sems.at[0])
-    cp_qual = pltpu.make_async_copy(qual_hbm.at[pl.ds(base, GMAX)], qual_v, sems.at[1])
-    cp_seq.start()
-    cp_qual.start()
+    def group_dma(k, slot):
+        srt = srtk_ref[t * K + k]
+        # DMA row offsets must be tile-aligned (u8 tiling 32): round down
+        # and mask the leading remainder rows instead.
+        base = pl.multiple_of((srt // 32) * 32, 32)
+        cs = pltpu.make_async_copy(seq_hbm.at[pl.ds(base, GMAX)],
+                                   seq_v.at[slot], sems.at[slot, 0])
+        cq = pltpu.make_async_copy(qual_hbm.at[pl.ds(base, GMAX)],
+                                   qual_v.at[slot], sems.at[slot, 1])
+        return cs, cq
 
-    @pl.when(k == 0)
-    def _():
-        acc[...] = jnp.zeros_like(acc)
+    cs0, cq0 = group_dma(0, 0)
+    cs0.start()
+    cq0.start()
+    acc[...] = jnp.zeros_like(acc)
 
-    cp_seq.wait()
-    cp_qual.wait()
+    for k in range(K):
+        slot = k % 2
+        if k + 1 < K:
+            csn, cqn = group_dma(k + 1, (k + 1) % 2)
+            csn.start()
+            cqn.start()
+        cs, cq = group_dma(k, slot)
+        cs.wait()
+        cq.wait()
 
-    s_all = seq_v[...].astype(jnp.int32)
-    q = qual_v[...].astype(jnp.int32)  # u8 compares unsupported on some TPUs
-    s = s_all & 15           # base code
-    odd_i = (s_all >> 5) & 1  # per-element parity (bit 5, set by prealign)
-    # All mask algebra in int32: Mosaic cannot relayout broadcast i1 vectors.
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (GMAX, 1), 0)
-    rowmask = ((rowid >= rem) & (rowid < rem + gcnt)).astype(jnp.int32)
-    passing = (q >= min_phred).astype(jnp.int32) * rowmask  # [GMAX, LP2]
+        srt = srtk_ref[t * K + k]
+        gcnt = cntk_ref[t * K + k]
+        rem = srt - (srt // 32) * 32
 
-    def counts(cond):
-        tot = jnp.sum(cond, axis=0, keepdims=True)
-        o = jnp.sum(cond * odd_i, axis=0, keepdims=True)
-        return o, tot - o
+        s_all = seq_v[slot].astype(jnp.int32)
+        q = qual_v[slot].astype(jnp.int32)  # u8 compares unsupported on TPU
+        s = s_all & 15            # base code
+        odd_i = (s_all >> 5) & 1  # per-element parity (bit 5, set by prealign)
+        # Mask algebra in int32: Mosaic cannot relayout broadcast i1 vectors.
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (GMAX, 1), 0)
+        rowmask = ((rowid >= rem) & (rowid < rem + gcnt)).astype(jnp.int32)
+        passing = (q >= min_phred).astype(jnp.int32) * rowmask  # [GMAX, LP2]
 
-    rows = []
-    rows.append(counts(passing))                      # total
-    for code in (BASE_A, BASE_C, BASE_G, BASE_T, BASE_N):
-        rows.append(counts(passing * (s == code).astype(jnp.int32)))
-    odd_block = jnp.concatenate([r[0] for r in rows], axis=0)   # [6, LP2]
-    even_block = jnp.concatenate([r[1] for r in rows], axis=0)  # [6, LP2]
-    zero = jnp.zeros((4, LP2), jnp.int32)
-    chan = jnp.concatenate([odd_block, even_block, zero], axis=0)  # [16, LP2]
+        def counts(cond):
+            tot = jnp.sum(cond, axis=0, keepdims=True)
+            o = jnp.sum(cond * odd_i, axis=0, keepdims=True)
+            return o, tot - o
 
-    off = (HALO_L - LP) + k * 128
-    off = pl.multiple_of(off, 128)
-    acc[:, pl.ds(off, LP2)] += chan
+        rows = [counts(passing)]  # total
+        for code in (BASE_A, BASE_C, BASE_G, BASE_T, BASE_N):
+            rows.append(counts(passing * (s == code).astype(jnp.int32)))
+        odd_block = jnp.concatenate([r[0] for r in rows], axis=0)   # [6, LP2]
+        even_block = jnp.concatenate([r[1] for r in rows], axis=0)  # [6, LP2]
+        zero = jnp.zeros((4, LP2), jnp.int32)
+        chan = jnp.concatenate([odd_block, even_block, zero], axis=0)
 
-    @pl.when(k == K - 1)
-    def _():
-        out_ref[0] = acc[:, HALO_L : HALO_L + T]
+        off = pl.multiple_of((HALO_L - LP) + k * 128, 128)
+        acc[:, pl.ds(off, LP2)] += chan
+
+    out_ref[0] = acc[:, HALO_L : HALO_L + T]
 
 
 @functools.partial(
@@ -129,19 +137,19 @@ def _pileup_tiles(srtk, cntk, seq, qual, *, ntiles, T, HALO_L, LP, LP2, K,
     tplus = T + HALO_L + LP2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(ntiles, K),
+        grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 16, T), lambda t, k, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, 16, T), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((GMAX, LP2), jnp.uint8),
-            pltpu.VMEM((GMAX, LP2), jnp.uint8),
+            pltpu.VMEM((2, GMAX, LP2), jnp.uint8),
+            pltpu.VMEM((2, GMAX, LP2), jnp.uint8),
             pltpu.VMEM((16, tplus), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kernel = functools.partial(_kernel, T=T, HALO_L=HALO_L, LP=LP, LP2=LP2,

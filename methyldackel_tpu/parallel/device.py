@@ -275,6 +275,12 @@ def arbitrate_prealigned(seq_a, qual_a, aligned_pos, strand, flag, max_shift_blo
         & ((fl2[:, 1] & 0x1) != 0) & ((fl2[:, 1] & 12) == 0)
     )
 
+    def boost(q):
+        # floor(q + 0.2*q) through the uint8 store == q + q//5 for all
+        # q in [0, 255] (verified against the C-double table exhaustively);
+        # arithmetic instead of a table avoids per-element gathers.
+        return (q + q // 5) & 0xFF
+
     new_qa = qa
     new_qb = qb
     for s in range(max_shift_blocks + 1):
@@ -288,12 +294,12 @@ def arbitrate_prealigned(seq_a, qual_a, aligned_pos, strand, flag, max_shift_blo
         awins_s = ~differ & (qa > qb_s)
         na = jnp.select(
             [awins_d, awins_s, bwins_d | zero_d | (~differ & ~awins_s)],
-            [qa - qb_s, QUAL_BOOST[qa], jnp.zeros_like(qa)],
+            [qa - qb_s, boost(qa), jnp.zeros_like(qa)],
             default=qa,
         )
         nb_aligned = jnp.select(
             [bwins_d, ~differ & ~awins_s, awins_d | awins_s | zero_d],
-            [qb_s - qa, QUAL_BOOST[qb_s], jnp.zeros_like(qb_s)],
+            [qb_s - qa, boost(qb_s), jnp.zeros_like(qb_s)],
             default=qb_s,
         )
         nb = jnp.pad(nb_aligned, ((0, 0), (0, off)))[:, off : LPW + off]

@@ -75,3 +75,50 @@ def test_counts_to_channels_formulas():
         else:
             assert out[p, 0] == 0 and out[p, 1] == 0
             assert out[p, 2] == odd[0] + even[0]
+
+
+def test_arbitrate_pallas_prep_matches_host():
+    """prepare_pairs + the arbitration kernel math (validated through the
+    jitted CPU interpreter path of the same jnp code) vs host semantics."""
+    import jax.numpy as jnp
+    from methyldackel_tpu.ops.pileup_pallas import prealign_reads
+    from methyldackel_tpu.ops import arbitrate_pallas as ak
+
+    rng = np.random.default_rng(21)
+    ref_ascii, ref_codes = random_reference(rng, 4000)
+    batch = simulate_batch_fast(rng, ref_codes, 128, 150)
+    st = sem.strand(batch.flag, batch.xg)
+
+    hq = batch.qual.copy()
+    a, b = sem.pair_mates(batch.qname, batch.flag)
+    sem.arbitrate_overlaps(batch.seq, hq, batch.refpos, st, a, b)
+
+    seq_a, qual_a, aligned, parity = prealign_reads(batch.seq, batch.qual,
+                                                    batch.pos, st)
+    sa, qa, sb, qb, P = ak.prepare_pairs(seq_a, qual_a, aligned, st,
+                                         batch.flag, max_shift=2)
+    # run the kernel body as plain jnp (bit-identical math, CPU)
+    out = {}
+
+    class FakeRef:
+        def __init__(self, v=None):
+            self.v = jnp.asarray(v) if v is not None else None
+
+        def __getitem__(self, k):
+            return self.v
+
+        def __setitem__(self, k, val):
+            self.v = val
+
+    oa, ob = FakeRef(), FakeRef()
+    ak._arb_kernel(FakeRef(sa), FakeRef(qa), FakeRef(sb), FakeRef(qb), oa, ob,
+                   LP2=seq_a.shape[1], max_shift=2)
+    new_q = np.empty_like(qual_a)
+    new_q[0::2] = np.asarray(oa.v)
+    new_q[1::2] = np.asarray(ob.v)
+    # compare at read-base columns
+    L = batch.seq.shape[1]
+    pad = (batch.pos % 128).astype(np.int64)
+    rows = np.arange(batch.n)[:, None]
+    cols = pad[:, None] + np.arange(L)[None, :]
+    np.testing.assert_array_equal(new_q[rows, cols], hq)

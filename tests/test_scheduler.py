@@ -1,0 +1,87 @@
+"""Window scheduler + chunk-size invariance tests."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from methyldackel_tpu.engine.scheduler import windows, parse_region, adjust_bounds
+from methyldackel_tpu.io.bam import BamHeader
+from methyldackel_tpu.io.fasta import FastaFile
+
+ENV = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+           MDTPU_ENGINE=os.environ.get("MDTPU_ENGINE", "host"))
+
+
+class FakeFasta:
+    def __init__(self, seqs):
+        self.seqs = {k: np.frombuffer(v.encode(), dtype=np.uint8) for k, v in seqs.items()}
+
+    def fetch(self, name, start, end):
+        s = self.seqs.get(name)
+        if s is None:
+            return None
+        start = max(start, 0)
+        end = min(end, len(s) - 1)
+        if start > end:
+            return np.zeros(0, np.uint8)
+        return s[start : end + 1]
+
+
+def test_windows_roll_contigs():
+    hdr = BamHeader("", ["c1", "c2"], [250, 90])
+    fa = FakeFasta({"c1": "A" * 250, "c2": "A" * 90})
+    w = list(windows(hdr, fa, 100))
+    assert w == [(0, 0, 100), (0, 100, 200), (0, 200, 250), (1, 0, 90)]
+
+
+def test_adjust_bounds_extends_over_cpg():
+    # boundary at a C followed by G → +1; C?G straddle → +2
+    fa = FakeFasta({"c": "AAAACGAA"})
+    # end=5 (0-based): bases end-1..end+1 = "ACG" → seq[1]=='C'? check code:
+    # seq[0]='A', seq[1]='C'? adjustBounds checks seq[0]=='C' && seq[2]=='G'
+    # (CHG straddle) elif seq[1]=='G'.
+    pos, end = adjust_bounds(fa, "c", 0, 5)  # bases 4,5,6 = "CGA": seq[1]='G' → +1
+    assert end == 6
+    fa2 = FakeFasta({"c": "AAAACAGA"})
+    pos, end = adjust_bounds(fa2, "c", 0, 5)  # bases 4,5,6 = "CAG" → CHG → +2
+    assert end == 7
+
+
+def test_parse_region():
+    hdr = BamHeader("", ["chr1"], [1000])
+    assert parse_region("chr1", hdr) == (0, 0, 0)
+    assert parse_region("chr1:100-200", hdr) == (0, 99, 200)
+    assert parse_region("chr1:100", hdr) == (0, 99, 100)
+    assert parse_region("chr1:1-5000", hdr) == (0, 0, 1000)
+    with pytest.raises(ValueError):
+        parse_region("nope:1-2", hdr)
+
+
+def md(args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "methyldackel_tpu.cli"] + args,
+        cwd=cwd, env=ENV, capture_output=True, text=True,
+    )
+
+
+def test_chunk_size_invariance(fixture_dir):
+    """Same output with 1 Mb windows and 16 bp windows (the analogue of the
+    reference's thread-count determinism; reads span whole windows so the
+    chunk-local approximations don't bite on these fixtures)."""
+    md(["extract", "cg100.fa", "cg_aln.bam", "-q", "2", "-o", "big"], fixture_dir)
+    md(["extract", "--chunkSize", "16", "cg100.fa", "cg_aln.bam", "-q", "2",
+        "-o", "small"], fixture_dir)
+    a = open(fixture_dir / "big_CpG.bedGraph").read().splitlines()[1:]
+    b = open(fixture_dir / "small_CpG.bedGraph").read().splitlines()[1:]
+    assert a == b
+
+    md(["extract", "--CHH", "--CHG", "chgchh.fa", "chgchh_aln.bam", "-q", "5",
+        "-o", "cbig"], fixture_dir)
+    md(["extract", "--CHH", "--CHG", "--chunkSize", "7", "chgchh.fa",
+        "chgchh_aln.bam", "-q", "5", "-o", "csmall"], fixture_dir)
+    for ctx in ("CpG", "CHG", "CHH"):
+        a = open(fixture_dir / f"cbig_{ctx}.bedGraph").read().splitlines()[1:]
+        b = open(fixture_dir / f"csmall_{ctx}.bedGraph").read().splitlines()[1:]
+        assert a == b, ctx
