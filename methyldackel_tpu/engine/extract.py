@@ -286,11 +286,30 @@ def _process_last(out: list, cfg, last: LastCall, chrom: str, tid: int,
         last.nunmethyl = nu
 
 
+def ensure_bam_index(bam: BamFile, path: str) -> None:
+    """Missing-index recovery parity (extract.c:1048-1057): if no .bai is
+    present next to the BAM, announce and build one."""
+    import os
+
+    cands = [path + ".bai", os.path.splitext(path)[0] + ".bai"]
+    if any(os.path.exists(c) for c in cands):
+        return
+    sys.stderr.write(f"Couldn't load the index for {path}, will attempt to build it.\n")
+    from ..io.bai import build_bai
+
+    try:
+        build_bai(bam, cands[0])
+    except OSError:
+        sys.stderr.write(f"Couldn't build the index for {path}! File corrupted?\n")
+        raise
+
+
 def run_extract(cfg, out_streams, compute_backend=None) -> int:
     """Full extract pipeline. out_streams: (cpg, chg, chh) file objects (any
     may be None; cytosine_report uses slot 0). Returns the number of
     variant-excluded positions (extract.c:1489)."""
     bam = BamFile(cfg.BAMName)
+    ensure_bam_index(bam, cfg.BAMName)
     fasta = FastaFile(cfg.FastaName)
     hdr = bam.header
     compute = compute_backend or compute_window_counters_host

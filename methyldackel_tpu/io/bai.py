@@ -63,3 +63,104 @@ def reg2bins(beg: int, end: int) -> list[int]:
     for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
         bins.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
     return bins
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """Smallest bin containing [beg, end) (SAM spec)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def build_bai(bamfile, path: str) -> None:
+    """Build a BAI index for a decoded BamFile (bam_index_build parity,
+    extract.c:1050). Uses the BGZF block map to produce the records'
+    virtual offsets."""
+    import bisect
+    import os
+
+    reader = bamfile._reader
+    blocks = reader._blocks
+    uoffsets = [b.uoffset for b in blocks]
+    total_u = len(reader.data)
+    file_size = os.path.getsize(bamfile.path)
+
+    def voffset(flat: int) -> int:
+        if flat >= total_u:
+            # htslib's tell at true EOF: compressed file size, offset 0
+            return file_size << 16
+        i = bisect.bisect_right(uoffsets, flat) - 1
+        b = blocks[i]
+        return (b.coffset << 16) | (flat - b.uoffset)
+
+    n_ref = bamfile.header.n_targets
+    bins: list[dict] = [{} for _ in range(n_ref)]
+    linear: list[dict] = [{} for _ in range(n_ref)]
+    span: list[list] = [[None, None] for _ in range(n_ref)]  # off_beg, off_end
+    counts = [[0, 0] for _ in range(n_ref)]  # mapped, unmapped
+    n_no_coor = 0
+    offs = bamfile.record_offsets
+    for i in range(bamfile.n_reads):
+        tid = int(bamfile.tid[i])
+        beg = int(bamfile.pos[i])
+        if tid < 0 or beg < 0:
+            n_no_coor += 1
+            continue
+        end = int(bamfile.endpos[i])
+        v0 = voffset(int(offs[i]))
+        v1 = voffset(int(offs[i + 1]))
+        unmapped = bool(bamfile.flag[i] & 0x4)
+        counts[tid][1 if unmapped else 0] += 1
+        if span[tid][0] is None or v0 < span[tid][0]:
+            span[tid][0] = v0
+        if span[tid][1] is None or v1 > span[tid][1]:
+            span[tid][1] = v1
+        b = reg2bin(beg, max(end, beg + 1))
+        chunks = bins[tid].setdefault(b, [])
+        if chunks and chunks[-1][1] == v0:
+            chunks[-1] = (chunks[-1][0], v1)
+        else:
+            chunks.append((v0, v1))
+        for w in range(beg >> 14, ((max(end, beg + 1) - 1) >> 14) + 1):
+            cur = linear[tid].get(w)
+            if cur is None or v0 < cur:
+                linear[tid][w] = v0
+
+    out = bytearray(b"BAI\x01")
+    out += struct.pack("<i", n_ref)
+    for tid in range(n_ref):
+        n_bin = len(bins[tid]) + (1 if span[tid][0] is not None else 0)
+        out += struct.pack("<i", n_bin)
+        for bin_id in sorted(bins[tid]):
+            chunks = bins[tid][bin_id]
+            out += struct.pack("<Ii", bin_id, len(chunks))
+            for c0, c1 in chunks:
+                out += struct.pack("<QQ", c0, c1)
+        if span[tid][0] is not None:
+            # metadata pseudo-bin (37450): [off_beg, off_end], [mapped, unmapped]
+            out += struct.pack("<Ii", 37450, 2)
+            out += struct.pack("<QQ", span[tid][0], span[tid][1])
+            out += struct.pack("<QQ", counts[tid][0], counts[tid][1])
+        if linear[tid]:
+            n_intv = max(linear[tid]) + 1
+            vals = []
+            prev = 0
+            for w in range(n_intv):
+                prev = linear[tid].get(w, prev)
+                vals.append(prev)
+            out += struct.pack("<i", n_intv)
+            out += struct.pack(f"<{n_intv}Q", *vals)
+        else:
+            out += struct.pack("<i", 0)
+    out += struct.pack("<Q", n_no_coor)
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))

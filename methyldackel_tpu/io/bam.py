@@ -89,6 +89,7 @@ class BamFile:
     def __init__(self, path: str):
         self.path = path
         reader = BGZFReader(path)
+        self._reader = reader
         data = reader.data
         if data[:4] != b"BAM\x01":
             raise ValueError(f"{path} is not a BAM file")
@@ -123,7 +124,9 @@ class BamFile:
         n = len(data)
         nib_lut = _nibble_lut()
 
+        rec_offsets: list[int] = []
         while p < n:
+            rec_offsets.append(p)
             (block_size,) = struct.unpack_from("<i", data, p)
             rec_end = p + 4 + block_size
             (refID, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
@@ -185,6 +188,7 @@ class BamFile:
         self.cigar_flat = (
             np.concatenate(cigar_parts) if cigar_parts else np.zeros(0, np.uint32)
         )
+        self.record_offsets = np.asarray(rec_offsets + [n], dtype=np.int64)
 
         # Coordinate-sorted processing order (stable: preserves file order at
         # equal positions, matching the htslib iterator's delivery order).

@@ -91,3 +91,50 @@ def test_bbm_quantize_matches_c():
     # (char)((v*100)+0.5): 0, 0(0.9 trunc→0)... 0.004*100+0.5=0.9→0;
     # 0.005*100+0.5=1.0→1; 50.5→50; 100.5→100; NaN→0
     assert list(q) == [0, 0, 1, 50, 100, 0]
+
+
+def test_bai_builder_matches_htslib(tmp_path):
+    """bam_index_build parity: byte-identical to the shipped .bai for the
+    fixtures whose indexes use the modern EOF-tell convention (the shipped
+    chgchh/NH indexes were written by an older htslib whose final chunk end
+    stops at the EOF block start; the two conventions are mutually
+    exclusive, so those two are compared semantically)."""
+    import shutil
+    from methyldackel_tpu.io.bai import build_bai, BaiFile
+
+    for name, exact in (("cg_aln", True), ("ct_aln", True),
+                        ("cg_with_variants", True), ("chgchh_aln", False),
+                        ("NH", False)):
+        shutil.copy(f"{FIX}/{name}.bam", tmp_path / f"{name}.bam")
+        b = BamFile(str(tmp_path / f"{name}.bam"))
+        build_bai(b, str(tmp_path / f"{name}.bam.bai"))
+        mine = open(tmp_path / f"{name}.bam.bai", "rb").read()
+        ref = open(f"{FIX}/{name}.bam.bai", "rb").read()
+        if exact:
+            assert mine == ref, name
+        else:
+            m = BaiFile(str(tmp_path / f"{name}.bam.bai"))
+            r = BaiFile(f"{FIX}/{name}.bam.bai")
+            assert set(m.refs[0].bins) == set(r.refs[0].bins)
+            assert m.refs[0].intervals == r.refs[0].intervals
+
+
+def test_missing_index_autobuild(tmp_path):
+    """Missing .bai → announce + build (extract.c:1048-1057 parity)."""
+    import shutil
+    import subprocess
+    import sys
+    import os
+
+    shutil.copy(f"{FIX}/cg100.fa", tmp_path / "cg100.fa")
+    shutil.copy(f"{FIX}/cg_aln.bam", tmp_path / "noidx.bam")
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+               MDTPU_ENGINE="host")
+    r = subprocess.run(
+        [sys.executable, "-m", "methyldackel_tpu.cli", "extract", "cg100.fa",
+         "noidx.bam", "-q", "2", "-o", "out"],
+        cwd=tmp_path, env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "will attempt to build it" in r.stderr
+    assert (tmp_path / "noidx.bam.bai").exists()
