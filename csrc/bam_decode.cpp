@@ -1,0 +1,267 @@
+// Native BAM record decoder → structure-of-arrays.
+//
+// The role htslib's sam_read1 + bam_* accessors play for the reference
+// (common.c:407, overlaps.c:27-52) — decode every alignment record of an
+// uncompressed BAM byte stream into flat arrays ready for tensorization:
+// fixed-size fields, concatenated per-base arrays (unpacked 4-bit codes,
+// quals, CIGAR-expanded reference positions), CIGAR words, qname blob and
+// XG/NH aux tags. Two-pass API: scan sizes, then decode (parallel across
+// record ranges).
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct RecSizes {
+  int64_t n = 0;
+  int64_t bases = 0;
+  int64_t cigars = 0;
+  int64_t qnames = 0;  // including NUL terminators
+};
+
+inline int32_t rd_i32(const uint8_t* p) {
+  int32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+inline uint32_t rd_u32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+inline uint16_t rd_u16(const uint8_t* p) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  return v;
+}
+
+// cigar op consumes: read (bit0), ref (bit1) — MIDNSHP=X
+constexpr uint8_t kCigType[16] = {3, 1, 2, 2, 1, 0, 0, 3, 3, 0, 0, 0, 0, 0, 0, 0};
+
+bool scan(const uint8_t* d, int64_t len, int64_t p, RecSizes* out,
+          std::vector<int64_t>* offsets) {
+  while (p < len) {
+    if (p + 4 > len) return false;
+    int32_t bs = rd_i32(d + p);
+    if (bs < 32 || p + 4 + bs > len) return false;
+    offsets->push_back(p);
+    const uint8_t* r = d + p + 4;
+    uint8_t l_read_name = r[8];
+    uint16_t n_cigar = rd_u16(r + 12);
+    int32_t l_seq = rd_i32(d + p + 4 + 16);
+    out->n++;
+    out->bases += l_seq;
+    out->cigars += n_cigar;
+    out->qnames += l_read_name;  // includes NUL
+    p += 4 + bs;
+  }
+  return true;
+}
+
+void decode_range(const uint8_t* d, const std::vector<int64_t>& recs,
+                  int64_t lo, int64_t hi,
+                  const int64_t* base_off, const int64_t* cig_off,
+                  const int64_t* qn_off,
+                  uint16_t* flag, int32_t* tid, int64_t* pos, uint8_t* mapq,
+                  int32_t* l_qseq, int64_t* endpos, int32_t* mtid,
+                  int64_t* mpos, int8_t* xg, int32_t* nh,
+                  uint8_t* seq_flat, uint8_t* qual_flat, int64_t* refpos_flat,
+                  uint32_t* cigar_flat, char* qname_blob) {
+  for (int64_t i = lo; i < hi; ++i) {
+    const uint8_t* rec = d + recs[i];
+    int32_t bs = rd_i32(rec);
+    const uint8_t* r = rec + 4;
+    const uint8_t* rec_end = rec + 4 + bs;
+    int32_t refID = rd_i32(r);
+    int32_t p0 = rd_i32(r + 4);
+    uint8_t l_read_name = r[8];
+    uint8_t mq = r[9];
+    uint16_t n_cigar = rd_u16(r + 12);
+    uint16_t fl = rd_u16(r + 14);
+    int32_t l_seq = rd_i32(r + 16);
+    int32_t next_ref = rd_i32(r + 20);
+    int32_t next_pos = rd_i32(r + 24);
+
+    flag[i] = fl;
+    tid[i] = refID;
+    pos[i] = p0;
+    mapq[i] = mq;
+    l_qseq[i] = l_seq;
+    mtid[i] = next_ref;
+    mpos[i] = next_pos;
+
+    const uint8_t* q = r + 32;
+    std::memcpy(qname_blob + qn_off[i], q, l_read_name);
+    q += l_read_name;
+
+    const uint8_t* cig = q;
+    std::memcpy(cigar_flat + cig_off[i], cig, 4ull * n_cigar);
+    q += 4ull * n_cigar;
+
+    // unpack 4-bit bases
+    uint8_t* seq_out = seq_flat + base_off[i];
+    for (int32_t j = 0; j < l_seq; ++j) {
+      uint8_t byte = q[j >> 1];
+      seq_out[j] = (j & 1) ? (byte & 0xF) : (byte >> 4);
+    }
+    q += (l_seq + 1) / 2;
+    std::memcpy(qual_flat + base_off[i], q, l_seq);
+    q += l_seq;
+
+    // CIGAR-expanded refpos + endpos
+    int64_t* rp = refpos_flat + base_off[i];
+    int64_t cur = p0;
+    int64_t ref_len = 0;
+    int64_t k = 0;
+    for (uint16_t c = 0; c < n_cigar; ++c) {
+      uint32_t w = rd_u32(cig + 4ull * c);
+      uint32_t op = w & 0xF;
+      uint32_t n = w >> 4;
+      uint8_t t = kCigType[op];
+      if (t == 3) {  // M/=/X
+        for (uint32_t j = 0; j < n && k < l_seq; ++j) rp[k++] = cur + j;
+        cur += n;
+        ref_len += n;
+      } else if (t == 1) {  // I/S
+        for (uint32_t j = 0; j < n && k < l_seq; ++j) rp[k++] = -1;
+      } else if (t == 2) {  // D/N
+        cur += n;
+        ref_len += n;
+      }
+    }
+    while (k < l_seq) rp[k++] = -1;
+    endpos[i] = ref_len > 0 ? p0 + ref_len : p0 + 1;
+    if (n_cigar == 0) {
+      for (int64_t j = 0; j < l_seq; ++j) rp[j] = -1;
+      endpos[i] = p0 + 1;
+    }
+
+    // aux tags: XG (Z) and NH (integer)
+    int8_t xgv = 0;
+    int32_t nhv = -1;
+    const uint8_t* t = q;
+    while (t + 3 <= rec_end) {
+      char t0 = t[0], t1 = t[1], typ = t[2];
+      t += 3;
+      int64_t adv = 0;
+      switch (typ) {
+        case 'A': case 'c': case 'C': adv = 1; break;
+        case 's': case 'S': adv = 2; break;
+        case 'i': case 'I': case 'f': adv = 4; break;
+        case 'Z': case 'H': {
+          const uint8_t* z = t;
+          while (z < rec_end && *z) z++;
+          adv = (z - t) + 1;
+          break;
+        }
+        case 'B': {
+          if (t + 5 > rec_end) { adv = rec_end - t; break; }
+          char sub = (char)t[0];
+          int32_t cnt = rd_i32(t + 1);
+          int esz = (sub == 'c' || sub == 'C') ? 1
+                  : (sub == 's' || sub == 'S') ? 2 : 4;
+          adv = 5 + (int64_t)esz * cnt;
+          break;
+        }
+        default: adv = rec_end - t; break;  // unknown: stop
+      }
+      if (t0 == 'X' && t1 == 'G' && typ == 'Z' && t < rec_end) {
+        if (*t == 'C') xgv = 1;
+        else if (*t == 'G') xgv = 2;
+      } else if (t0 == 'N' && t1 == 'H') {
+        switch (typ) {
+          case 'c': nhv = *(const int8_t*)t; break;
+          case 'C': nhv = *t; break;
+          case 's': { int16_t v; std::memcpy(&v, t, 2); nhv = v; break; }
+          case 'S': { uint16_t v; std::memcpy(&v, t, 2); nhv = v; break; }
+          case 'i': { int32_t v; std::memcpy(&v, t, 4); nhv = v; break; }
+          case 'I': { uint32_t v; std::memcpy(&v, t, 4); nhv = (int32_t)v; break; }
+          default: break;
+        }
+      }
+      t += adv;
+    }
+    xg[i] = xgv;
+    nh[i] = nhv;
+  }
+}
+
+std::vector<int64_t> g_recs;  // record offsets from the last scan (per-process)
+
+}  // namespace
+
+extern "C" {
+
+// Scan record structure starting at byte offset `start`. Returns 0 on
+// success; fills n/bases/cigars/qnames.
+int mdtpu_bam_scan(const char* data, int64_t len, int64_t start,
+                   int64_t* n, int64_t* bases, int64_t* cigars,
+                   int64_t* qnames) {
+  RecSizes sz;
+  g_recs.clear();
+  if (!scan(reinterpret_cast<const uint8_t*>(data), len, start, &sz, &g_recs))
+    return -1;
+  *n = sz.n;
+  *bases = sz.bases;
+  *cigars = sz.cigars;
+  *qnames = sz.qnames;
+  return 0;
+}
+
+// Decode using the offsets captured by the immediately preceding scan call
+// (single-threaded caller contract). base_off/cig_off/qn_off are exclusive
+// prefix sums of length n+1 computed by the caller from per-record sizes —
+// here they are recomputed internally for robustness.
+int mdtpu_bam_decode(const char* data, int64_t len, int64_t start, int nthreads,
+                     uint16_t* flag, int32_t* tid, int64_t* pos, uint8_t* mapq,
+                     int32_t* l_qseq, int64_t* endpos, int32_t* mtid,
+                     int64_t* mpos, int8_t* xg, int32_t* nh,
+                     int64_t* base_off, int64_t* cig_off, int64_t* qn_off,
+                     int64_t* rec_off,
+                     uint8_t* seq_flat, uint8_t* qual_flat,
+                     int64_t* refpos_flat, uint32_t* cigar_flat,
+                     char* qname_blob) {
+  const uint8_t* d = reinterpret_cast<const uint8_t*>(data);
+  RecSizes sz;
+  std::vector<int64_t> recs;
+  if (!scan(d, len, start, &sz, &recs)) return -1;
+  int64_t n = sz.n;
+  // prefix sums
+  base_off[0] = cig_off[0] = qn_off[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* r = d + recs[i] + 4;
+    base_off[i + 1] = base_off[i] + rd_i32(r + 16);
+    cig_off[i + 1] = cig_off[i] + rd_u16(r + 12);
+    qn_off[i + 1] = qn_off[i] + r[8];
+    rec_off[i] = recs[i];
+  }
+  rec_off[n] = len;
+
+  if (nthreads < 1) nthreads = 1;
+  size_t workers = std::min<size_t>(nthreads, std::max<int64_t>(n, 1));
+  if (workers <= 1 || n < 4096) {
+    decode_range(d, recs, 0, n, base_off, cig_off, qn_off, flag, tid, pos,
+                 mapq, l_qseq, endpos, mtid, mpos, xg, nh, seq_flat,
+                 qual_flat, refpos_flat, cigar_flat, qname_blob);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t per = (n + workers - 1) / workers;
+    for (size_t w = 0; w < workers; ++w) {
+      int64_t lo = w * per;
+      int64_t hi = std::min<int64_t>(lo + per, n);
+      if (lo >= hi) break;
+      ts.emplace_back(decode_range, d, std::cref(recs), lo, hi, base_off,
+                      cig_off, qn_off, flag, tid, pos, mapq, l_qseq, endpos,
+                      mtid, mpos, xg, nh, seq_flat, qual_flat, refpos_flat,
+                      cigar_flat, qname_blob);
+    }
+    for (auto& t : ts) t.join();
+  }
+  return 0;
+}
+
+}  // extern "C"

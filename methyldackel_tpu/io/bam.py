@@ -112,6 +112,35 @@ class BamFile:
     # ------------------------------------------------------------------ decode
 
     def _decode_records(self, data: bytes, p: int) -> None:
+        from . import native
+
+        nat = native.bam_decode(data, p) if native.available() else None
+        if nat is not None:
+            self.flag = nat["flag"]
+            self.tid = nat["tid"]
+            self.pos = nat["pos"]
+            self.mapq = nat["mapq"]
+            self.l_qseq = nat["l_qseq"]
+            self.endpos = nat["endpos"]
+            self.mtid = nat["mtid"]
+            self.mpos = nat["mpos"]
+            self.xg = nat["xg"]
+            self.nh = nat["nh"]
+            self.offsets = nat["offsets"]
+            self.seq_flat = nat["seq_flat"]
+            self.qual_flat = nat["qual_flat"]
+            self.refpos_flat = nat["refpos_flat"]
+            self.cigar_offsets = nat["cigar_offsets"]
+            self.cigar_flat = nat["cigar_flat"]
+            self.record_offsets = nat["record_offsets"]
+            self.qname = QnameView(nat["qname_blob"].tobytes(),
+                                   nat["qname_offsets"])
+            key = self.tid.astype(np.int64) * (1 << 40) + self.pos
+            self.order = np.argsort(key, kind="stable")
+            return
+        self._decode_records_py(data, p)
+
+    def _decode_records_py(self, data: bytes, p: int) -> None:
         qnames: list[str] = []
         flags, tids, poss, mapqs, lqs = [], [], [], [], []
         mtids, mposs, endposs, xgs, nhs = [], [], [], [], []
@@ -254,6 +283,21 @@ class BamFile:
         """(seq_codes, quals, refpos) ragged views for read i."""
         o0, o1 = self.offsets[i], self.offsets[i + 1]
         return self.seq_flat[o0:o1], self.qual_flat[o0:o1], self.refpos_flat[o0:o1]
+
+
+class QnameView:
+    """Lazy read-name accessor over the native decoder's blob (avoids
+    materializing millions of Python strings up front)."""
+
+    def __init__(self, blob: bytes, offsets: np.ndarray):
+        self._blob = blob
+        self._off = offsets
+
+    def __len__(self) -> int:
+        return len(self._off) - 1
+
+    def __getitem__(self, i: int) -> str:
+        return self._blob[self._off[i] : self._off[i + 1] - 1].decode()
 
 
 def _nibble_lut() -> np.ndarray:

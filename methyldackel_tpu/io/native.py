@@ -37,8 +37,19 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_int,
         ]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.mdtpu_bam_scan.restype = ctypes.c_int
+        lib.mdtpu_bam_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, i64p,
+        ]
+        lib.mdtpu_bam_decode.restype = ctypes.c_int
+        lib.mdtpu_bam_decode.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                         ctypes.c_int64, ctypes.c_int] + [
+            ctypes.c_void_p
+        ] * 19
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
         _LIB = None
     return _LIB
 
@@ -57,3 +68,60 @@ def bgzf_decompress(data: bytes) -> bytes:
     if n < 0:
         raise ValueError("BGZF inflation failed")
     return out.raw[:n]
+
+
+def bam_decode(data: bytes, start: int):
+    """Decode all records from `start` → dict of numpy SoA arrays, or None
+    if the native decoder is unavailable/fails."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    n = ctypes.c_int64()
+    bases = ctypes.c_int64()
+    cigars = ctypes.c_int64()
+    qnames = ctypes.c_int64()
+    if lib.mdtpu_bam_scan(data, len(data), start, ctypes.byref(n),
+                          ctypes.byref(bases), ctypes.byref(cigars),
+                          ctypes.byref(qnames)) != 0:
+        return None
+    N, B, C, Q = n.value, bases.value, cigars.value, qnames.value
+    out = {
+        "flag": np.empty(N, np.uint16),
+        "tid": np.empty(N, np.int32),
+        "pos": np.empty(N, np.int64),
+        "mapq": np.empty(N, np.uint8),
+        "l_qseq": np.empty(N, np.int32),
+        "endpos": np.empty(N, np.int64),
+        "mtid": np.empty(N, np.int32),
+        "mpos": np.empty(N, np.int64),
+        "xg": np.empty(N, np.int8),
+        "nh": np.empty(N, np.int32),
+        "offsets": np.empty(N + 1, np.int64),
+        "cigar_offsets": np.empty(N + 1, np.int64),
+        "qname_offsets": np.empty(N + 1, np.int64),
+        "record_offsets": np.empty(N + 1, np.int64),
+        "seq_flat": np.empty(B, np.uint8),
+        "qual_flat": np.empty(B, np.uint8),
+        "refpos_flat": np.empty(B, np.int64),
+        "cigar_flat": np.empty(C, np.uint32),
+        "qname_blob": np.empty(Q, np.uint8),
+    }
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.mdtpu_bam_decode(
+        data, len(data), start, os.cpu_count() or 1,
+        ptr(out["flag"]), ptr(out["tid"]), ptr(out["pos"]), ptr(out["mapq"]),
+        ptr(out["l_qseq"]), ptr(out["endpos"]), ptr(out["mtid"]),
+        ptr(out["mpos"]), ptr(out["xg"]), ptr(out["nh"]),
+        ptr(out["offsets"]), ptr(out["cigar_offsets"]),
+        ptr(out["qname_offsets"]), ptr(out["record_offsets"]),
+        ptr(out["seq_flat"]), ptr(out["qual_flat"]), ptr(out["refpos_flat"]),
+        ptr(out["cigar_flat"]), ptr(out["qname_blob"]),
+    )
+    if rc != 0:
+        return None
+    return out
