@@ -186,10 +186,13 @@ def counts_to_channels(counts, ref_window, win_offset_rel, W):
 
 
 def pileup_pallas(seq, qual, pos_rel, strand, ref_window, win_offset_rel, W,
-                  min_phred=5, T=512, interpret=False, max_gmax=4096):
+                  min_phred=5, T=512, interpret=False, max_gmax=4096,
+                  prealigned=None):
     """Fast-path pileup for gapless, position-sorted reads. Returns uint32
     [W, 4], bit-equal to ops.semantics.pileup_channels, or None if the
-    batch's coverage skew exceeds max_gmax (caller falls back to XLA)."""
+    batch's coverage skew exceeds max_gmax (caller falls back to XLA).
+    `prealigned=(seq_a, qual_a, aligned)` skips prealign_reads (e.g. when
+    quals were already arbitrated in the aligned layout)."""
     N, L = seq.shape
     pos_rel = np.asarray(pos_rel, np.int64)
     LP = _round_up(max(L, 128), 128)
@@ -199,7 +202,11 @@ def pileup_pallas(seq, qual, pos_rel, strand, ref_window, win_offset_rel, W,
     ntiles = wpad // T
     K = (T + LP) // 128
 
-    seq_a, qual_a, aligned, parity = prealign_reads(seq, qual, pos_rel, strand)
+    if prealigned is not None:
+        seq_a, qual_a, aligned = prealigned
+        LP2 = seq_a.shape[1]
+    else:
+        seq_a, qual_a, aligned, parity = prealign_reads(seq, qual, pos_rel, strand)
 
     # Group boundaries: for tile t, groups at aligned offsets
     # t*T - LP + 128*k, k in [0, K)

@@ -345,6 +345,166 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _rows_gapless(refpos, pos, l_qseq):
+    """Rows whose aligned positions are exactly pos+j for j<l_qseq (single-M
+    CIGAR) — eligible for the Pallas fast path."""
+    N, L = refpos.shape
+    col = np.arange(L)[None, :]
+    inread = col < l_qseq[:, None]
+    expect = pos[:, None] + col
+    ok = np.where(inread, refpos == expect, True)
+    return ok.all(axis=1)
+
+
+def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
+                                 win_offset, win_start, win_end, rstrand=None,
+                                 interpret=False):
+    """Hybrid window compute: gapless mate pairs + singles go through the
+    Pallas kernels (arbitration + tile pileup); reads with indels (or any
+    pair containing one) take the exact XLA scatter path; BED strand-column
+    windows fall back entirely. Counter addition makes the split exact."""
+    from ..ops import semantics as sem
+    from ..ops import pileup_pallas as pk
+    from ..ops import arbitrate_pallas as ak
+
+    W = win_end - win_start
+    kidx = np.nonzero(keep)[0]
+    if len(kidx) == 0:
+        return np.zeros((W, 4), dtype=np.uint32)
+    L = batch.seq.shape[1]
+    if rstrand is not None or L > 256:
+        return None  # caller falls back to the XLA path
+
+    seq = batch.seq[kidx]
+    qual = batch.qual[kidx]
+    refpos = batch.refpos[kidx]
+    pos = batch.pos[kidx]
+    lq = batch.l_qseq[kidx]
+    st = strand_arr[kidx].astype(np.int32)
+    flag = batch.flag[kidx].astype(np.uint16)
+
+    simple = _rows_gapless(refpos, pos, lq)
+    a_np, b_np = sem.pair_mates([batch.qname[i] for i in kidx], flag)
+    pair_simple = np.ones(len(a_np), bool)
+    if len(a_np):
+        pair_simple = simple[a_np] & simple[b_np]
+    # rows routed to the XLA path: non-simple rows plus both mates of any
+    # pair with a non-simple member
+    xla_rows = np.zeros(len(kidx), bool)
+    xla_rows |= ~simple
+    if len(a_np):
+        xla_rows[a_np[~pair_simple]] = True
+        xla_rows[b_np[~pair_simple]] = True
+
+    counters = np.zeros((W, 4), dtype=np.uint32)
+
+    # --- exact XLA path for the complicated rows
+    if xla_rows.any():
+        rows = np.nonzero(xla_rows)[0]
+        remap = -np.ones(len(kidx), np.int64)
+        remap[rows] = np.arange(len(rows))
+        sub_pairs = [(remap[a], remap[b]) for a, b, ps in zip(a_np, b_np, pair_simple)
+                     if not ps]
+        pa = np.array([p[0] for p in sub_pairs], np.int32) if sub_pairs else np.zeros(1, np.int32)
+        pb = np.array([p[1] for p in sub_pairs], np.int32) if sub_pairs else np.zeros(1, np.int32)
+        pv = np.array([True] * len(sub_pairs), bool) if sub_pairs else np.zeros(1, bool)
+        ovw = _round_up(max(2 * L, 1), 128)
+        q2 = arbitrate_device(jnp.asarray(seq[rows]), jnp.asarray(qual[rows]),
+                              jnp.asarray(refpos[rows].astype(np.int32)),
+                              jnp.asarray(st[rows]), jnp.asarray(pa),
+                              jnp.asarray(pb), jnp.asarray(pv), ovw)
+        part = pileup_device(jnp.asarray(seq[rows]), q2,
+                             jnp.asarray(refpos[rows].astype(np.int32)),
+                             jnp.asarray(st[rows]), jnp.ones(len(rows), bool),
+                             jnp.ones(seq[rows].shape, bool),
+                             jnp.asarray(ref_window), win_offset, win_start,
+                             W, cfg.minPhred)
+        counters += np.asarray(jax.device_get(part))
+
+    # --- Pallas fast path for gapless pairs + singles
+    fast = ~xla_rows
+    if fast.any():
+        rows = np.nonzero(fast)[0]
+        remap = -np.ones(len(kidx), np.int64)
+        remap[rows] = np.arange(len(rows))
+        f_seq = seq[rows]
+        f_qual = qual[rows]
+        f_pos = pos[rows] - win_start
+        f_st = st[rows]
+        f_flag = flag[rows]
+        seq_a, qual_a, aligned, parity = pk.prealign_reads(f_seq, f_qual,
+                                                           f_pos, f_st)
+        # arbitration on the simple pairs (adjacent-mate packing)
+        simple_pairs = [(int(remap[a]), int(remap[b]))
+                        for a, b, ps in zip(a_np, b_np, pair_simple) if ps]
+        if simple_pairs:
+            pa = np.array([p[0] for p in simple_pairs])
+            pb = np.array([p[1] for p in simple_pairs])
+            # order each pair so mate a has the smaller aligned start
+            swap = aligned[pa] > aligned[pb]
+            pa2 = np.where(swap, pb, pa)
+            pb2 = np.where(swap, pa, pb)
+            sa = seq_a[pa2]
+            qa = qual_a[pa2]
+            sb = seq_a[pb2]
+            qb = qual_a[pb2]
+            sh = (aligned[pb2] - aligned[pa2]) // 128
+            elig = (((f_st[pa2] - f_st[pb2]) & 1) == 0) & (sh >= 0) & (sh <= 2)
+            code = np.where(elig, sh, 3).astype(np.uint8)
+            sa = sa | (code[:, None] << 6)
+            PB = 256
+            P = len(pa2)
+            P_pad = ((P + PB - 1) // PB) * PB
+            LP2 = seq_a.shape[1]
+
+            def padP(x):
+                out = np.zeros((P_pad, LP2), x.dtype)
+                out[:P] = x
+                return out
+
+            na, nb = ak.arbitrate_pallas(
+                jnp.asarray(padP(sa)), jnp.asarray(padP(qa)),
+                jnp.asarray(padP(sb)), jnp.asarray(padP(qb)),
+                PB=PB, LP2=LP2, max_shift=2,
+            ) if not interpret else _arbitrate_pallas_interpret(
+                padP(sa), padP(qa), padP(sb), padP(qb), LP2, 2)
+            na = np.asarray(na)[:P]
+            nb = np.asarray(nb)[:P]
+            qual_a[pa2] = na
+            qual_a[pb2] = nb
+        order = np.argsort(aligned, kind="stable")
+        part = pk.pileup_pallas(
+            f_seq[order], None, f_pos[order], f_st[order], ref_window,
+            win_offset - win_start, W, min_phred=cfg.minPhred,
+            interpret=interpret,
+            prealigned=(seq_a[order], qual_a[order], aligned[order]),
+        )
+        if part is None:
+            return None  # coverage skew: caller falls back
+        counters += part
+    return counters
+
+
+def _arbitrate_pallas_interpret(sa, qa, sb, qb, LP2, max_shift):
+    """CPU execution of the arbitration kernel math (for tests)."""
+    from ..ops import arbitrate_pallas as ak
+
+    class _Ref:
+        def __init__(self, v=None):
+            self.v = jnp.asarray(v) if v is not None else None
+
+        def __getitem__(self, k):
+            return self.v
+
+        def __setitem__(self, k, val):
+            self.v = val
+
+    oa, ob = _Ref(), _Ref()
+    ak._arb_kernel(_Ref(sa), _Ref(qa), _Ref(sb), _Ref(qb), oa, ob,
+                   LP2=LP2, max_shift=max_shift)
+    return np.asarray(oa.v), np.asarray(ob.v)
+
+
 def make_device_backend(cfg):
     """Adapter with the host-backend signature (engine.extract). The
     flag-gate / NH / BED / mappability read filters stay on the host (cheap,
@@ -353,11 +513,23 @@ def make_device_backend(cfg):
     bounds = jnp.asarray(np.array(cfg.bounds, dtype=np.int32))
     absolute_bounds = jnp.asarray(np.array(cfg.absoluteBounds, dtype=np.int32))
 
+    import os
+
+    interpret = os.environ.get("MDTPU_PALLAS_INTERPRET") == "1"
+    use_pallas = os.environ.get("MDTPU_NO_PALLAS") != "1"
+
     def compute(cfg, batch, strand_arr, keep, ref_window, win_offset, win_start,
                 win_end, rstrand=None):
         W = win_end - win_start
         if batch.n == 0:
             return np.zeros((W, 4), dtype=np.uint32)
+        if use_pallas:
+            fast = compute_window_counters_fast(
+                cfg, batch, strand_arr, keep, ref_window, win_offset,
+                win_start, win_end, rstrand, interpret=interpret,
+            )
+            if fast is not None:
+                return fast
         # prepare_window_reads already trimmed/conv-eff'd on host; recompute
         # nothing — run only arbitration+pileup on device here.
         kidx = np.nonzero(keep)[0]

@@ -166,3 +166,52 @@ def test_arbitrate_prealigned_matches_host():
     cols = pad[:, None] + np.arange(L)[None, :]
     got = out[rows, cols]
     np.testing.assert_array_equal(got, hq)
+
+
+def test_hybrid_fast_backend_matches_host(monkeypatch):
+    """The hybrid Pallas/XLA CLI backend (gapless pairs via Pallas kernels,
+    indel pairs via the XLA path) equals the exact host computation."""
+    monkeypatch.setenv("MDTPU_PALLAS_INTERPRET", "1")
+    from methyldackel_tpu.engine.extract import compute_window_counters_host
+    from methyldackel_tpu.parallel.device import make_device_backend
+    from methyldackel_tpu.utils.simulate import simulate_batch_fast
+    import copy
+
+    cfg = Config()
+    rng = np.random.default_rng(17)
+    ref_ascii, ref_codes = random_reference(rng, 6000)
+    # mix: fast gapless pairs + slow indel pairs (simulate_batch w/ indels)
+    fast_b = simulate_batch_fast(rng, ref_codes, 80, 100)
+    slow_b = simulate_batch(rng, ref_codes, 20, 90)
+    # introduce indels into slow_b by shifting refpos mid-read
+    for i in range(0, slow_b.n, 3):
+        slow_b.refpos[i, 50:] += 2  # 2bp deletion mid-read
+
+    from methyldackel_tpu.io.bam import ReadBatch
+
+    def cat(f):
+        a, b = getattr(fast_b, f), getattr(slow_b, f)
+        if f == "qname":
+            return list(a) + [q + "_s" for q in b]
+        L = max(a.shape[1], b.shape[1]) if a.ndim == 2 else None
+        if L is not None:
+            def pad(x):
+                fill = -2 if f == "refpos" else 0
+                out = np.full((x.shape[0], L), fill, x.dtype)
+                out[:, : x.shape[1]] = x
+                return out
+            return np.concatenate([pad(a), pad(b)])
+        return np.concatenate([a, b])
+
+    batch = ReadBatch(**{f: cat(f) for f in (
+        "qname", "flag", "tid", "pos", "mapq", "l_qseq", "endpos", "mtid",
+        "mpos", "xg", "nh", "seq", "qual", "refpos")})
+    st = sem.strand(batch.flag, batch.xg)
+    keep = np.ones(batch.n, bool)
+    W = 5632
+
+    host = compute_window_counters_host(cfg, copy.deepcopy(batch), st, keep,
+                                        ref_ascii, 0, 0, W)
+    backend = make_device_backend(cfg)
+    got = backend(cfg, copy.deepcopy(batch), st, keep, ref_ascii, 0, 0, W)
+    np.testing.assert_array_equal(host, got)
