@@ -515,7 +515,11 @@ def make_device_backend(cfg):
 
     import os
 
-    interpret = os.environ.get("MDTPU_PALLAS_INTERPRET") == "1"
+    try:
+        on_cpu = jax.devices()[0].platform == "cpu"
+    except Exception:
+        on_cpu = True
+    interpret = on_cpu or os.environ.get("MDTPU_PALLAS_INTERPRET") == "1"
     use_pallas = os.environ.get("MDTPU_NO_PALLAS") != "1"
 
     def compute(cfg, batch, strand_arr, keep, ref_window, win_offset, win_start,

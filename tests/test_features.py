@@ -8,7 +8,8 @@ import numpy as np
 
 from util_bigwig import write_bigwig
 
-ENV = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+ENV = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+           + os.pathsep + os.environ.get("PYTHONPATH", ""),
            MDTPU_ENGINE=os.environ.get("MDTPU_ENGINE", "host"))
 
 

@@ -128,7 +128,8 @@ def test_missing_index_autobuild(tmp_path):
 
     shutil.copy(f"{FIX}/cg100.fa", tmp_path / "cg100.fa")
     shutil.copy(f"{FIX}/cg_aln.bam", tmp_path / "noidx.bam")
-    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+           + os.pathsep + os.environ.get("PYTHONPATH", ""),
                MDTPU_ENGINE="host")
     r = subprocess.run(
         [sys.executable, "-m", "methyldackel_tpu.cli", "extract", "cg100.fa",

@@ -10,7 +10,8 @@ from methyldackel_tpu.engine.scheduler import windows, parse_region, adjust_boun
 from methyldackel_tpu.io.bam import BamHeader
 from methyldackel_tpu.io.fasta import FastaFile
 
-ENV = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+ENV = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+           + os.pathsep + os.environ.get("PYTHONPATH", ""),
            MDTPU_ENGINE=os.environ.get("MDTPU_ENGINE", "host"))
 
 

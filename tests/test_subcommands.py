@@ -3,7 +3,8 @@ import os
 import subprocess
 import sys
 
-ENV = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+ENV = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+           + os.pathsep + os.environ.get("PYTHONPATH", ""),
            MDTPU_ENGINE=os.environ.get("MDTPU_ENGINE", "host"))
 
 
