@@ -156,8 +156,7 @@ def bench_pallas(batch, ref_ascii, W, iters):
         tiles = pk._pileup_tiles(srtk_d, cntk_d, seq_sorted_d, q_sorted,
                                  ntiles=ntiles, T=T, HALO_L=HALO_L, LP=LP,
                                  LP2=LP2, K=K, GMAX=GMAX, min_phred=5)
-        counts = tiles.transpose(0, 2, 1).reshape(wpad, 16)[:W]
-        return pk.counts_to_channels(counts, ref_d, 0, W)
+        return pk.counts_to_channels(tiles[:, :W], ref_d, 0, W)
 
     out = step(qa_d, qb_d)
     out.block_until_ready()
@@ -173,7 +172,7 @@ def bench_pallas(batch, ref_ascii, W, iters):
     sem.arbitrate_overlaps(seq, hq, batch.refpos, stc, a_idx, a_idx + 1)
     host = sem.pileup_channels(seq, hq, batch.refpos, stc,
                                np.ones(seq.shape, bool), ref_ascii, 0, 0, W, 5)
-    if not np.array_equal(np.asarray(out), host):
+    if not np.array_equal(np.asarray(out).T, host):
         raise AssertionError("pallas bench pipeline diverges from host semantics")
     return dt
 

@@ -125,7 +125,7 @@ def _kernel(srtk_ref, cntk_ref, seq_hbm, qual_hbm, out_ref,
         off = pl.multiple_of((HALO_L - LP) + k * 128, 128)
         acc[:, pl.ds(off, LP2)] += chan
 
-    out_ref[0] = acc[:, HALO_L : HALO_L + T]
+    out_ref[...] = acc[:, HALO_L : HALO_L + T]
 
 
 @functools.partial(
@@ -143,7 +143,7 @@ def _pileup_tiles(srtk, cntk, seq, qual, *, ntiles, T, HALO_L, LP, LP2, K,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 16, T), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (16, T), lambda t, *_: (0, t), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, GMAX, LP2), jnp.uint8),
@@ -157,32 +157,33 @@ def _pileup_tiles(srtk, cntk, seq, qual, *, ntiles, T, HALO_L, LP, LP2, K,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ntiles, 16, T), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((16, ntiles * T), jnp.int32),
     )(srtk, cntk, seq, qual)
 
 
 def counts_to_channels(counts, ref_window, win_offset_rel, W):
     """XLA epilogue: 12 per-parity base counts → the 4 reference-dependent
     channels of extract.c:420-441 (meth, unmeth, opposite coverage,
-    opposite variants)."""
-    counts = jnp.asarray(counts)  # [W, 16]
+    opposite variants). counts: [16, W] (sublane-major, straight from the
+    kernel — no transpose on the hot path)."""
+    counts = jnp.asarray(counts)  # [16, W]
     ref = jnp.asarray(ref_window)
     idx = jnp.arange(W) - win_offset_rel
     refb = jnp.where((idx >= 0) & (idx < ref.shape[0]), ref[jnp.clip(idx, 0, ref.shape[0] - 1)], 0)
-    odd = counts[:, 0:6]
-    even = counts[:, 6:12]
+    odd = counts[0:6]
+    even = counts[6:12]
     is_c = refb == REF_C
     is_g = refb == REF_G
-    meth = jnp.where(is_c, odd[:, 1 + 1], jnp.where(is_g, even[:, 1 + 2], 0))
-    unmeth = jnp.where(is_c, odd[:, 1 + 3], jnp.where(is_g, even[:, 1 + 0], 0))
-    var_odd = odd[:, CH_TOTAL] - odd[:, 1 + 2] - odd[:, CH_N]
-    var_even = even[:, CH_TOTAL] - even[:, 1 + 1] - even[:, CH_N]
-    off = jnp.where(is_c, even[:, CH_TOTAL],
-                    jnp.where(is_g, odd[:, CH_TOTAL],
-                              odd[:, CH_TOTAL] + even[:, CH_TOTAL]))
+    meth = jnp.where(is_c, odd[1 + 1], jnp.where(is_g, even[1 + 2], 0))
+    unmeth = jnp.where(is_c, odd[1 + 3], jnp.where(is_g, even[1 + 0], 0))
+    var_odd = odd[CH_TOTAL] - odd[1 + 2] - odd[CH_N]
+    var_even = even[CH_TOTAL] - even[1 + 1] - even[CH_N]
+    off = jnp.where(is_c, even[CH_TOTAL],
+                    jnp.where(is_g, odd[CH_TOTAL],
+                              odd[CH_TOTAL] + even[CH_TOTAL]))
     var = jnp.where(is_c, var_even,
                     jnp.where(is_g, var_odd, var_odd + var_even))
-    return jnp.stack([meth, unmeth, off, var], axis=1).astype(jnp.uint32)
+    return jnp.stack([meth, unmeth, off, var], axis=0).astype(jnp.uint32)
 
 
 def pileup_pallas(seq, qual, pos_rel, strand, ref_window, win_offset_rel, W,
@@ -226,21 +227,21 @@ def pileup_pallas(seq, qual, pos_rel, strand, ref_window, win_offset_rel, W,
     qual_a = np.concatenate([qual_a, np.zeros((pad_rows, LP2), np.uint8)])
 
     if interpret:
-        counts = _pileup_tiles_interpret(srtk, cntk, seq_a, qual_a,
-                                         ntiles=ntiles, T=T, HALO_L=HALO_L,
-                                         LP=LP, LP2=LP2, K=K,
-                                         min_phred=min_phred)
-        counts = counts[:, :, :].transpose(0, 2, 1).reshape(wpad, 16)[:W]
+        tiles = _pileup_tiles_interpret(srtk, cntk, seq_a, qual_a,
+                                        ntiles=ntiles, T=T, HALO_L=HALO_L,
+                                        LP=LP, LP2=LP2, K=K,
+                                        min_phred=min_phred)
+        counts = tiles.transpose(1, 0, 2).reshape(16, wpad)[:, :W]
         out = counts_to_channels(counts, np.asarray(ref_window),
                                  win_offset_rel, W)
-        return np.asarray(out).astype(np.uint32)
+        return np.asarray(out).T.astype(np.uint32)
 
     tiles = _pileup_tiles(srtk, cntk, jnp.asarray(seq_a), jnp.asarray(qual_a),
                           ntiles=ntiles, T=T, HALO_L=HALO_L,
                           LP=LP, LP2=LP2, K=K, GMAX=GMAX, min_phred=min_phred)
-    counts = tiles.transpose(0, 2, 1).reshape(wpad, 16)[:W]
-    out = counts_to_channels(counts, jnp.asarray(ref_window), win_offset_rel, W)
-    return np.asarray(jax.device_get(out))
+    out = counts_to_channels(tiles[:, :W], jnp.asarray(ref_window),
+                             win_offset_rel, W)
+    return np.ascontiguousarray(np.asarray(jax.device_get(out)).T)
 
 
 def _pileup_tiles_interpret(srtk, cntk, seq, qual, *, ntiles, T, HALO_L,

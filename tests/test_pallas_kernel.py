@@ -60,7 +60,8 @@ def test_counts_to_channels_formulas():
         counts[:, block + 1 : block + 6] = per_base
         counts[:, block] = per_base.sum(axis=1) + rng.integers(0, 3, size=W)
     ref = rng.choice([ord(c) for c in "ACGTN"], size=W).astype(np.uint8)
-    out = np.asarray(counts_to_channels(counts, ref, 0, W))
+    # the epilogue consumes the kernel's sublane-major [16, W] layout
+    out = np.asarray(counts_to_channels(counts.T, ref, 0, W)).T
     for p in range(W):
         odd = counts[p, 0:6]
         even = counts[p, 6:12]
