@@ -1,0 +1,67 @@
+"""Multi-host execution scaffolding.
+
+The reference's scale-out story ends at pthreads on one machine. The
+TPU-native plan (SURVEY §2 / BASELINE north star) spans two networks:
+
+- DCN (host level): genome windows are statically partitioned across hosts
+  — host h owns every window w with w % n_hosts == h. Window outputs are
+  written per-host and concatenated in window order afterwards (or streamed
+  through host 0), so output bytes are identical to a single-host run for
+  any host count: the multi-host analogue of the reference's ticket-ordered
+  flush (extract.c:514-535).
+- ICI (chip level): within a host, the (dp, sp) mesh of parallel.mesh
+  shards read batches and window coordinates across the local chips with a
+  psum merge.
+
+Mate-pair locality holds by construction: a window's compute consumes every
+read overlapping that window (both mates of an overlapping pair are fetched
+by the same host), matching the reference's chunk-local overlap handling
+(overlaps.c:12-14, common.c:441).
+
+This module is exercised single-process in CI; jax.distributed
+initialization requires a real multi-host slice.
+"""
+from __future__ import annotations
+
+import os
+
+
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Initialize jax.distributed from explicit args or the standard env
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID). Returns
+    (process_id, num_processes); (0, 1) when not in a multi-host job."""
+    import jax
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None:
+        return 0, 1
+    num_processes = int(num_processes or os.environ.get("JAX_NUM_PROCESSES", 1))
+    process_id = int(process_id if process_id is not None
+                     else os.environ.get("JAX_PROCESS_ID", 0))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return process_id, num_processes
+
+
+def owned_windows(windows_iter, process_id: int, num_processes: int):
+    """Round-robin static window partition over hosts (DCN sharding of the
+    genome cursor). Deterministic: no coordination needed beyond the static
+    assignment; outputs reassemble in window order."""
+    for i, w in enumerate(windows_iter):
+        if i % num_processes == process_id:
+            yield i, w
+
+
+def merge_host_outputs(prefix: str, out_path: str, num_processes: int,
+                       n_windows: int) -> None:
+    """Concatenate per-host per-window shards (written as
+    f"{prefix}.h{h}.w{i}") into one output in window order."""
+    with open(out_path, "a") as out:
+        for i in range(n_windows):
+            shard = f"{prefix}.h{i % num_processes}.w{i}"
+            if os.path.exists(shard):
+                with open(shard) as fh:
+                    out.write(fh.read())
+                os.unlink(shard)

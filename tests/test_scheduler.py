@@ -86,3 +86,29 @@ def test_chunk_size_invariance(fixture_dir):
         a = open(fixture_dir / f"cbig_{ctx}.bedGraph").read().splitlines()[1:]
         b = open(fixture_dir / f"csmall_{ctx}.bedGraph").read().splitlines()[1:]
         assert a == b, ctx
+
+
+def test_distributed_window_partition():
+    """DCN window partition is a disjoint cover and reassembles in order."""
+    from methyldackel_tpu.parallel.distributed import owned_windows
+
+    wins = [(0, i * 10, (i + 1) * 10) for i in range(23)]
+    seen = {}
+    for h in range(4):
+        for i, w in owned_windows(iter(wins), h, 4):
+            assert i not in seen
+            seen[i] = (h, w)
+    assert sorted(seen) == list(range(23))
+    assert [seen[i][1] for i in sorted(seen)] == wins
+
+
+def test_merge_host_outputs(tmp_path):
+    from methyldackel_tpu.parallel.distributed import merge_host_outputs
+
+    n_hosts, n_windows = 3, 7
+    for i in range(n_windows):
+        (tmp_path / f"p.h{i % n_hosts}.w{i}").write_text(f"w{i}\n")
+    out = tmp_path / "merged"
+    out.write_text("header\n")
+    merge_host_outputs(str(tmp_path / "p"), str(out), n_hosts, n_windows)
+    assert out.read_text() == "header\n" + "".join(f"w{i}\n" for i in range(n_windows))

@@ -1,0 +1,145 @@
+"""End-to-end tests on synthetic BAMs: scenarios the reference fixtures
+don't cover — multiple contigs, indel CIGARs, OB-strand pairs, CHG/CHH
+outputs — with expectations computed by hand from the C semantics."""
+import os
+import subprocess
+import sys
+
+from util_bam import write_bam
+
+ENV = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+           + os.pathsep + os.environ.get("PYTHONPATH", ""),
+           MDTPU_ENGINE=os.environ.get("MDTPU_ENGINE", "host"))
+
+
+def md(args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "methyldackel_tpu.cli"] + args,
+        cwd=cwd, env=ENV, capture_output=True, text=True,
+    )
+
+
+def write_fa(path, seqs):
+    with open(path, "w") as fh:
+        for name, seq in seqs:
+            fh.write(f">{name}\n{seq}\n")
+
+
+def rows(path):
+    return [l.rstrip("\n").split("\t") for l in open(path) if not l.startswith("track")]
+
+
+def test_multi_contig(tmp_path):
+    write_fa(tmp_path / "g.fa", [("chrA", "ACGTACGTAC"), ("chrB", "TTCGTTTTTT")])
+    # single-end OT read on each contig (flag 0 = unpaired forward = OT)
+    write_bam(tmp_path / "r.bam", [("chrA", 10), ("chrB", 10)], [
+        dict(qname="a", flag=0, tid=0, pos=0, seq="ACGTACGTAC", mtid=-1, mpos=-1),
+        dict(qname="b", flag=0, tid=1, pos=0, seq="TTCGTTTTTT", mtid=-1, mpos=-1),
+    ])
+    r = md(["extract", "g.fa", "r.bam", "-o", "o"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    got = rows(tmp_path / "o_CpG.bedGraph")
+    # chrA: CpG Cs at 1 and 5 (ACGTACGTAC: C at 1,5 followed by G) — read has
+    # C there → methylated. G positions are opposite-strand for an OT read.
+    # chrB: C at 2 followed by G → methylated.
+    assert got == [
+        ["chrA", "1", "2", "100", "1", "0"],
+        ["chrA", "5", "6", "100", "1", "0"],
+        ["chrB", "2", "3", "100", "1", "0"],
+    ]
+
+
+def test_ob_strand_read(tmp_path):
+    """A reverse single-end read (OB): calls come from G positions; G stays
+    G = methylated, G→A = unmethylated."""
+    write_fa(tmp_path / "g.fa", [("c", "ACGTTTCGTT")])
+    # OB read: flag 0x10. At CpG Gs (pos 2 and 7): keep G at 2, A at 7.
+    write_bam(tmp_path / "r.bam", [("c", 10)], [
+        dict(qname="r", flag=0x10, tid=0, pos=0, seq="ACGTTTCATT", mtid=-1, mpos=-1),
+    ])
+    r = md(["extract", "g.fa", "r.bam", "-o", "o"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    got = rows(tmp_path / "o_CpG.bedGraph")
+    assert got == [
+        ["c", "2", "3", "100", "1", "0"],
+        ["c", "7", "8", "0", "0", "1"],
+    ]
+
+
+def test_indel_read(tmp_path):
+    """CIGAR with a deletion: bases after the D shift right on the
+    reference."""
+    #        0123456789012345
+    # ref:   AACGTTTTTTCGTTTT
+    write_fa(tmp_path / "g.fa", [("c", "AACGTTTTTTCGTTTT")])
+    # read covers 0-3 then deletes 4-9, continues 10-13: CG at 2 and CG at 10
+    # read seq: AACG + CGTT (aligned at 10..13)
+    write_bam(tmp_path / "r.bam", [("c", 16)], [
+        dict(qname="r", flag=0, tid=0, pos=0, cigar="4M6D4M", seq="AACGCGTT",
+             mtid=-1, mpos=-1),
+    ])
+    r = md(["extract", "g.fa", "r.bam", "-o", "o"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    got = rows(tmp_path / "o_CpG.bedGraph")
+    assert got == [
+        ["c", "2", "3", "100", "1", "0"],
+        ["c", "10", "11", "100", "1", "0"],
+    ]
+
+
+def test_soft_clip_and_insertion(tmp_path):
+    write_fa(tmp_path / "g.fa", [("c", "TTCGTTTTTT")])
+    # 2S4M2I2M starting at pos 0: clipped 'GG', M over 0-3 (TTCG),
+    # insertion 'AA', M over 4-5
+    write_bam(tmp_path / "r.bam", [("c", 10)], [
+        dict(qname="r", flag=0, tid=0, pos=0, cigar="2S4M2I2M",
+             seq="GGTTCGAATT", mtid=-1, mpos=-1),
+    ])
+    r = md(["extract", "g.fa", "r.bam", "-o", "o"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    got = rows(tmp_path / "o_CpG.bedGraph")
+    assert got == [["c", "2", "3", "100", "1", "0"]]
+
+
+def test_chg_chh_outputs(tmp_path):
+    #       0123456
+    # ref:  CAGCTTA  → C0: CAG = CHG (C..G at 2); C3: CTT → CHH
+    write_fa(tmp_path / "g.fa", [("c", "CAGCTTA")])
+    write_bam(tmp_path / "r.bam", [("c", 7)], [
+        dict(qname="r", flag=0, tid=0, pos=0, seq="CAGTTTA", mtid=-1, mpos=-1),
+    ])
+    r = md(["extract", "--CHG", "--CHH", "g.fa", "r.bam", "-o", "o"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert rows(tmp_path / "o_CpG.bedGraph") == []
+    assert rows(tmp_path / "o_CHG.bedGraph") == [["c", "0", "1", "100", "1", "0"]]
+    # C3 read base is T → unmethylated CHH; G2 is CHG-reverse with no
+    # OB reads → no output there
+    assert rows(tmp_path / "o_CHH.bedGraph") == [["c", "3", "4", "0", "0", "1"]]
+
+
+def test_methylkit_field_widths(tmp_path):
+    """%6.2f printf padding in methylKit output (extract.c:76)."""
+    write_fa(tmp_path / "g.fa", [("c", "TTCGTTTTTT")])
+    write_bam(tmp_path / "r.bam", [("c", 10)], [
+        dict(qname="a", flag=0, tid=0, pos=0, seq="TTCGTTTTTT", mtid=-1, mpos=-1),
+        dict(qname="b", flag=0, tid=0, pos=0, seq="TTTGTTTTTT", mtid=-1, mpos=-1),
+        dict(qname="d", flag=0, tid=0, pos=0, seq="TTTGTTTTTT", mtid=-1, mpos=-1),
+    ])
+    r = md(["extract", "--methylKit", "g.fa", "r.bam", "-o", "o"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    lines = open(tmp_path / "o_CpG.methylKit").read().splitlines()
+    # 1 methylated, 2 unmethylated → 33.33 / 66.67, width-6 padded
+    assert lines[1] == "c.3\tc\t3\tF\t3\t 33.33\t 66.67"
+
+
+def test_mbias_chunking_merge(tmp_path):
+    """mbias counters accumulate across windows (MBias.c:541-552 analogue)."""
+    write_fa(tmp_path / "g.fa", [("c", "CG" * 50)])
+    recs = [dict(qname=f"r{i}", flag=0, tid=0, pos=2 * i, seq="CGCG",
+                 mtid=-1, mpos=-1) for i in range(40)]
+    write_bam(tmp_path / "r.bam", [("c", 100)], recs)
+    r1 = md(["mbias", "--noSVG", "g.fa", "r.bam"], tmp_path)
+    r2 = md(["mbias", "--noSVG", "--chunkSize", "13", "g.fa", "r.bam"], tmp_path)
+    assert r1.returncode == 0 and r2.returncode == 0
+    assert r1.stdout == r2.stdout
+    assert "OT\t1\t1\t40\t0" in r1.stdout
