@@ -217,12 +217,19 @@ def pileup_pallas(seq, qual, pos_rel, strand, ref_window, win_offset_rel, W,
     srtk = flat[:, :K].astype(np.int32).reshape(-1)
     cntk = np.diff(flat, axis=1).astype(np.int32).reshape(-1)
     gmax = int(cntk.max()) if len(cntk) else 0
-    # +32: group starts are rounded down to a 32-row boundary in-kernel
-    GMAX = max(_round_up(gmax + 32, 32), 64)
+    # +32: group starts are rounded down to a 32-row boundary in-kernel.
+    # Bucket to powers of two so repeated windows reuse the compiled kernel.
+    GMAX = 64
+    while GMAX < gmax + 32:
+        GMAX *= 2
     if GMAX > max_gmax:
         return None
 
-    pad_rows = GMAX
+    # Row-count bucketing (powers of two) for jit-cache reuse across windows
+    n_bucket = 256
+    while n_bucket < N + GMAX:
+        n_bucket *= 2
+    pad_rows = n_bucket - N
     seq_a = np.concatenate([seq_a, np.zeros((pad_rows, LP2), np.uint8)])
     qual_a = np.concatenate([qual_a, np.zeros((pad_rows, LP2), np.uint8)])
 

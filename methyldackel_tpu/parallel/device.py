@@ -374,6 +374,9 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
     L = batch.seq.shape[1]
     if rstrand is not None or L > 256:
         return None  # caller falls back to the XLA path
+    # Compute over a fixed-size window (chunkSize-derived) and slice, so the
+    # final clamped window of each contig reuses the compiled kernels.
+    W_fixed = _round_up(max(int(cfg.chunkSize) + 16, W), 512)
 
     seq = batch.seq[kidx]
     qual = batch.qual[kidx]
@@ -454,7 +457,9 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
             sa = sa | (code[:, None] << 6)
             PB = 256
             P = len(pa2)
-            P_pad = ((P + PB - 1) // PB) * PB
+            P_pad = PB
+            while P_pad < P:
+                P_pad *= 2
             LP2 = seq_a.shape[1]
 
             def padP(x):
@@ -475,13 +480,13 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
         order = np.argsort(aligned, kind="stable")
         part = pk.pileup_pallas(
             f_seq[order], None, f_pos[order], f_st[order], ref_window,
-            win_offset - win_start, W, min_phred=cfg.minPhred,
+            win_offset - win_start, W_fixed, min_phred=cfg.minPhred,
             interpret=interpret,
             prealigned=(seq_a[order], qual_a[order], aligned[order]),
         )
         if part is None:
             return None  # coverage skew: caller falls back
-        counters += part
+        counters += part[:W]
     return counters
 
 
