@@ -177,6 +177,32 @@ def emit_window(cfg, chrom: str, tid: int, win_start: int, win_end: int,
     ctx_kept = keep_vec[ct]
 
     has_data = counters[: len(base_idx)].any(axis=1)
+
+    # Fast vectorized writer for the common case: plain per-C output, no
+    # context merging, no cytosine report, no BED coverage filter.
+    if not cfg.cytosine_report and not cfg.merge and covered is None:
+        nm_v = counters[: len(base_idx), 0].astype(np.int64)
+        nu_v = counters[: len(base_idx), 1].astype(np.int64)
+        noff_v = counters[: len(base_idx), 2].astype(np.int64)
+        nvar_v = counters[: len(base_idx), 3].astype(np.int64)
+        variant_mask = np.zeros(len(base_idx), dtype=bool)
+        if cfg.minOppositeDepth > 0:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                frac = np.where(noff_v > 0, nvar_v / np.maximum(noff_v, 1), 0.0)
+            variant_mask = (noff_v >= cfg.minOppositeDepth) & (frac >= cfg.maxVariantFrac)
+        emit = ctx_kept & ~variant_mask & ((nm_v + nu_v) > 0)
+        n_variant = int((ctx_kept & variant_mask & has_data).sum())
+        for w in np.nonzero(emit)[0]:
+            pos = win_start + int(w)
+            t = int(ct[w])
+            line = formats.write_call(cfg, chrom, pos, 1, int(nm_v[w]),
+                                      int(nu_v[w]),
+                                      int(ref_window[w + (win_start - win_offset)]),
+                                      None, None)
+            if line:
+                lines[t].append(line)
+        return WindowResult(lines, n_variant)
+
     if cfg.cytosine_report:
         candidates = np.nonzero(ctx_kept)[0]
     else:
