@@ -334,10 +334,14 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
     """Full extract pipeline. out_streams: (cpg, chg, chh) file objects (any
     may be None; cytosine_report uses slot 0). Returns the number of
     variant-excluded positions (extract.c:1489)."""
-    bam = BamFile(cfg.BAMName)
+    from ..utils.profiling import STATS, trace
+
+    with STATS.timer("decode"):
+        bam = BamFile(cfg.BAMName)
     ensure_bam_index(bam, cfg.BAMName)
     fasta = FastaFile(cfg.FastaName)
     hdr = bam.header
+    STATS.count("reads_decoded", bam.n_reads)
     compute = compute_backend or compute_window_counters_host
 
     g_tid, g_pos, g_end = 0, 0, 0
@@ -376,11 +380,12 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
             print("Note that the output will be truncated!", file=sys.stderr)
             continue
 
-        idx = bam.overlapping(tid, lpos, lend)
-        batch = bam.batch(idx)
-        strand_arr = sem.strand(batch.flag, batch.xg)
-        keep = prepare_window_reads(cfg, bam, batch, strand_arr, tid, bed_state,
-                                    ref_window, lpos2)
+        with STATS.timer("window_prepare"):
+            idx = bam.overlapping(tid, lpos, lend)
+            batch = bam.batch(idx)
+            strand_arr = sem.strand(batch.flag, batch.xg)
+            keep = prepare_window_reads(cfg, bam, batch, strand_arr, tid,
+                                        bed_state, ref_window, lpos2)
 
         covered = rstrand = None
         if cfg.bed is not None:
@@ -388,12 +393,17 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                 cfg.bed, tid, lpos, lend, bed_state.col_idx
             )
 
-        counters = compute(cfg, batch, strand_arr, keep, ref_window, lpos2,
-                           lpos, lend, rstrand)
-        result = emit_window(cfg, name, tid, lpos, lend, lpos2, ref_window,
-                             np.asarray(counters), covered)
-        n_variant_positions += result.n_variant_positions
-        for slot in range(3):
-            if result.lines[slot] and out_streams[slot] is not None:
-                out_streams[slot].write("".join(result.lines[slot]))
+        STATS.count("windows")
+        STATS.count("reads_processed", int(keep.sum()))
+        with STATS.timer("window_compute"), trace("window_compute"):
+            counters = compute(cfg, batch, strand_arr, keep, ref_window, lpos2,
+                               lpos, lend, rstrand)
+        with STATS.timer("window_emit"):
+            result = emit_window(cfg, name, tid, lpos, lend, lpos2, ref_window,
+                                 np.asarray(counters), covered)
+            n_variant_positions += result.n_variant_positions
+            for slot in range(3):
+                if result.lines[slot] and out_streams[slot] is not None:
+                    out_streams[slot].write("".join(result.lines[slot]))
+    STATS.report()
     return n_variant_positions
