@@ -204,9 +204,12 @@ def emit_window(cfg, chrom: str, tid: int, win_start: int, win_end: int,
         return WindowResult(lines, n_variant)
 
     if cfg.cytosine_report:
-        candidates = np.nonzero(ctx_kept)[0]
-    else:
-        candidates = np.nonzero(ctx_kept & has_data)[0]
+        lines0, n_variant = _emit_cytosine_vectorized(
+            cfg, chrom, win_start, win_offset, ref_window, ctype, cdir,
+            base_idx, ct, cd, ctx_kept, counters, covered)
+        return WindowResult((lines0, [], []), n_variant)
+
+    candidates = np.nonzero(ctx_kept & has_data)[0]
 
     last_cpg = LastCall()
     last_chg = LastCall()
@@ -287,6 +290,69 @@ def emit_window(cfg, chrom: str, tid: int, win_start: int, win_end: int,
             if line:
                 lines[1].append(line)
     return WindowResult(lines, n_variant)
+
+
+_COL_CODE = np.full(256, 4, np.int8)
+for _b, _v in ((ord("A"), 0), (ord("C"), 1), (ord("G"), 2), (ord("T"), 3)):
+    _COL_CODE[_b] = _v
+_RC_COL_CODE = np.full(256, 4, np.int8)  # revcomp then code
+for _b, _v in ((ord("A"), 3), (ord("C"), 2), (ord("G"), 1), (ord("T"), 0)):
+    _RC_COL_CODE[_b] = _v
+
+
+def _emit_cytosine_vectorized(cfg, chrom, win_start, win_offset, ref_window,
+                              ctype, cdir, base_idx, ct, cd, ctx_kept,
+                              counters, covered):
+    """Vectorized cytosine_report writer: every kept-context position in the
+    window gets a line; variant-excluded and BED-uncovered positions report
+    zero coverage (the writeBlank behavior, extract.c:182-205, 444-459)."""
+    n = len(base_idx)
+    seqlen = len(ref_window)
+    nm = counters[:n, 0].astype(np.int64)
+    nu = counters[:n, 1].astype(np.int64)
+    noff = counters[:n, 2].astype(np.int64)
+    nvar = counters[:n, 3].astype(np.int64)
+    variant = np.zeros(n, dtype=bool)
+    if cfg.minOppositeDepth > 0:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = np.where(noff > 0, nvar / np.maximum(noff, 1), 0.0)
+        variant = (noff >= cfg.minOppositeDepth) & (frac >= cfg.maxVariantFrac)
+    zero = variant.copy()
+    if covered is not None:
+        zero |= ~covered[:n]
+    nm = np.where(zero, 0, nm)
+    nu = np.where(zero, 0, nu)
+    n_variant = int((ctx_kept & variant & (covered[:n] if covered is not None
+                                           else True)).sum())
+
+    emit = np.nonzero(ctx_kept)[0]
+    if len(emit) == 0:
+        return [], n_variant
+    widx = base_idx[emit]
+    d = cd[emit].astype(np.int64)
+    # trinucleotide context (getTriNucContext, extract.c:120-180)
+    last_idx = widx + 2 * d
+    last_oob = ((d > 0) & (widx + 2 >= seqlen)) | ((d < 0) & (widx <= 1))
+    last_b = ref_window[np.clip(last_idx, 0, seqlen - 1)]
+    col = np.where(d > 0, _COL_CODE[last_b], _RC_COL_CODE[last_b])
+    col = np.where(last_oob, 4, col)
+    mid_idx = widx + d
+    mid_oob = ((d > 0) & (widx + 1 >= seqlen)) | ((d < 0) & (widx == 0))
+    mid_b = ref_window[np.clip(mid_idx, 0, seqlen - 1)]
+    row = np.where(d > 0, _COL_CODE[mid_b], _RC_COL_CODE[mid_b])
+    row = np.where(mid_oob, 4, row)
+    tnc_idx = (5 * row + col).astype(np.int64)
+
+    ctx_names = {sem.CTX_CPG: "CG", sem.CTX_CHG: "CHG", sem.CTX_CHH: "CHH"}
+    strands = np.where(d > 0, "+", "-")
+    tnc_tab = formats.TRI_NUCLEOTIDE_CONTEXTS
+    ctv = ct[emit]
+    pos1 = win_start + emit + 1
+    lines = [
+        f"{chrom}\t{p}\t{s}\t{m}\t{u}\t{ctx_names[t]}\t{tnc_tab[x]}\n"
+        for p, s, m, u, t, x in zip(pos1, strands, nm[emit], nu[emit], ctv, tnc_idx)
+    ]
+    return lines, n_variant
 
 
 def _process_last(out: list, cfg, last: LastCall, chrom: str, tid: int,
