@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..io.bam import BamFile
+from ..io.cram import CramFile, open_alignment
 from ..io.fasta import FastaFile
 from ..io import bed as bedio
 from ..ops import semantics as sem
@@ -383,6 +384,8 @@ def ensure_bam_index(bam: BamFile, path: str) -> None:
     present next to the BAM, announce and build one."""
     import os
 
+    if isinstance(bam, CramFile):
+        return  # CRAM input: the in-memory decode needs no .crai
     cands = [path + ".bai", os.path.splitext(path)[0] + ".bai"]
     if any(os.path.exists(c) for c in cands):
         return
@@ -402,10 +405,10 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
     variant-excluded positions (extract.c:1489)."""
     from ..utils.profiling import STATS, trace
 
-    with STATS.timer("decode"):
-        bam = BamFile(cfg.BAMName)
-    ensure_bam_index(bam, cfg.BAMName)
     fasta = FastaFile(cfg.FastaName)
+    with STATS.timer("decode"):
+        bam = open_alignment(cfg.BAMName, fasta)
+    ensure_bam_index(bam, cfg.BAMName)
     hdr = bam.header
     STATS.count("reads_decoded", bam.n_reads)
     compute = compute_backend or compute_window_counters_host

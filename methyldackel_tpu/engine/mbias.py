@@ -15,6 +15,7 @@ import numpy as np
 
 from ..config import Config, c_atoi, c_atof, parse_bounds
 from ..io.bam import BamFile
+from ..io.cram import open_alignment
 from ..io.fasta import FastaFile
 from ..io import bed as bedio
 from ..ops import semantics as sem
@@ -213,8 +214,8 @@ def mbias_main(argv) -> int:
     cfg.BAMName = pos[1]
     opref = pos[2] if SVG else None
 
-    bam = BamFile(cfg.BAMName)
     fasta = FastaFile(cfg.FastaName)
+    bam = open_alignment(cfg.BAMName, fasta)
     hdr = bam.header
     g_tid = g_pos = g_end = 0
     if cfg.reg:

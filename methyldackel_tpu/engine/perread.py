@@ -14,6 +14,7 @@ import numpy as np
 
 from ..config import Config, c_atoi
 from ..io.bam import BamFile
+from ..io.cram import open_alignment
 from ..io.fasta import FastaFile
 from ..io import bed as bedio
 from ..ops import semantics as sem
@@ -104,8 +105,8 @@ def add_read(qname: str, chrom: str, pos: int, n_meth: int, n_unmeth: int) -> st
 
 
 def run_perread(cfg, out) -> None:
-    bam = BamFile(cfg.BAMName)
     fasta = FastaFile(cfg.FastaName)
+    bam = open_alignment(cfg.BAMName, fasta)
     hdr = bam.header
     g_tid = g_pos = g_end = 0
     if cfg.reg:

@@ -77,7 +77,84 @@ class ReadBatch:
         return self.seq.shape[1] if self.n else 0
 
 
-class BamFile:
+class AlignmentSoA:
+    """Query/batch interface over decoded SoA alignment arrays.
+
+    Shared by BamFile and CramFile (io/cram.py); subclasses must populate
+    header, qname, flag, tid, pos, mapq, l_qseq, endpos, mtid, mpos, xg, nh,
+    offsets, seq_flat, qual_flat, refpos_flat, cigar_offsets, cigar_flat and
+    call _finalize_order().
+    """
+
+    def _finalize_order(self) -> None:
+        # Coordinate-sorted processing order (stable: preserves file order at
+        # equal positions, matching the htslib iterator's delivery order).
+        key = self.tid.astype(np.int64) * (1 << 40) + self.pos
+        self.order = np.argsort(key, kind="stable")
+
+
+    @property
+    def n_reads(self) -> int:
+        return len(self.flag)
+
+    # ----------------------------------------------------------------- queries
+
+    def overlapping(self, tid: int, start: int, end: int) -> np.ndarray:
+        """Indices (in sorted order) of reads overlapping [start, end) on tid.
+
+        Mirrors sam_itr_queryi semantics: a read overlaps if pos < end and
+        endpos > start.
+        """
+        mask = (self.tid == tid) & (self.pos < end) & (self.endpos > start)
+        idx = np.nonzero(mask)[0]
+        key = self.pos[idx]
+        # stable order by position then original file order
+        return idx[np.argsort(key, kind="stable")]
+
+    def batch(self, idx: np.ndarray, width: int | None = None) -> ReadBatch:
+        """Materialize a padded ReadBatch for the given read indices."""
+        idx = np.asarray(idx, dtype=np.int64)
+        nreads = len(idx)
+        lq = self.l_qseq[idx] if nreads else np.zeros(0, np.int32)
+        L = int(width) if width is not None else (int(lq.max()) if nreads else 0)
+        seq = np.zeros((nreads, L), dtype=np.uint8)
+        qual = np.zeros((nreads, L), dtype=np.uint8)
+        refpos = np.full((nreads, L), -2, dtype=np.int64)
+        for row, i in enumerate(idx):
+            o0, o1 = self.offsets[i], self.offsets[i + 1]
+            m = int(o1 - o0)
+            seq[row, :m] = self.seq_flat[o0:o1]
+            qual[row, :m] = self.qual_flat[o0:o1]
+            refpos[row, :m] = self.refpos_flat[o0:o1]
+        return ReadBatch(
+            qname=[self.qname[i] for i in idx],
+            flag=self.flag[idx],
+            tid=self.tid[idx],
+            pos=self.pos[idx],
+            mapq=self.mapq[idx],
+            l_qseq=self.l_qseq[idx],
+            endpos=self.endpos[idx],
+            mtid=self.mtid[idx],
+            mpos=self.mpos[idx],
+            xg=self.xg[idx],
+            nh=self.nh[idx],
+            seq=seq,
+            qual=qual,
+            refpos=refpos,
+        )
+
+
+    def cigar(self, i: int) -> np.ndarray:
+        """Raw CIGAR ops for read i (uint32 op-words, htslib encoding)."""
+        return self.cigar_flat[self.cigar_offsets[i] : self.cigar_offsets[i + 1]]
+
+    def read_arrays(self, i: int):
+        """(seq_codes, quals, refpos) ragged views for read i."""
+        o0, o1 = self.offsets[i], self.offsets[i + 1]
+        return self.seq_flat[o0:o1], self.qual_flat[o0:o1], self.refpos_flat[o0:o1]
+
+
+class BamFile(AlignmentSoA):
     """Whole-file BAM decoder with coordinate-stable ordering.
 
     Decodes every record once into ragged SoA arrays; window queries
@@ -135,8 +212,7 @@ class BamFile:
             self.record_offsets = nat["record_offsets"]
             self.qname = QnameView(nat["qname_blob"].tobytes(),
                                    nat["qname_offsets"])
-            key = self.tid.astype(np.int64) * (1 << 40) + self.pos
-            self.order = np.argsort(key, kind="stable")
+            self._finalize_order()
             return
         self._decode_records_py(data, p)
 
@@ -219,71 +295,7 @@ class BamFile:
         )
         self.record_offsets = np.asarray(rec_offsets + [n], dtype=np.int64)
 
-        # Coordinate-sorted processing order (stable: preserves file order at
-        # equal positions, matching the htslib iterator's delivery order).
-        key = self.tid.astype(np.int64) * (1 << 40) + self.pos
-        self.order = np.argsort(key, kind="stable")
-
-    @property
-    def n_reads(self) -> int:
-        return len(self.flag)
-
-    # ----------------------------------------------------------------- queries
-
-    def overlapping(self, tid: int, start: int, end: int) -> np.ndarray:
-        """Indices (in sorted order) of reads overlapping [start, end) on tid.
-
-        Mirrors sam_itr_queryi semantics: a read overlaps if pos < end and
-        endpos > start.
-        """
-        mask = (self.tid == tid) & (self.pos < end) & (self.endpos > start)
-        idx = np.nonzero(mask)[0]
-        key = self.pos[idx]
-        # stable order by position then original file order
-        return idx[np.argsort(key, kind="stable")]
-
-    def batch(self, idx: np.ndarray, width: int | None = None) -> ReadBatch:
-        """Materialize a padded ReadBatch for the given read indices."""
-        idx = np.asarray(idx, dtype=np.int64)
-        nreads = len(idx)
-        lq = self.l_qseq[idx] if nreads else np.zeros(0, np.int32)
-        L = int(width) if width is not None else (int(lq.max()) if nreads else 0)
-        seq = np.zeros((nreads, L), dtype=np.uint8)
-        qual = np.zeros((nreads, L), dtype=np.uint8)
-        refpos = np.full((nreads, L), -2, dtype=np.int64)
-        for row, i in enumerate(idx):
-            o0, o1 = self.offsets[i], self.offsets[i + 1]
-            m = int(o1 - o0)
-            seq[row, :m] = self.seq_flat[o0:o1]
-            qual[row, :m] = self.qual_flat[o0:o1]
-            refpos[row, :m] = self.refpos_flat[o0:o1]
-        return ReadBatch(
-            qname=[self.qname[i] for i in idx],
-            flag=self.flag[idx],
-            tid=self.tid[idx],
-            pos=self.pos[idx],
-            mapq=self.mapq[idx],
-            l_qseq=self.l_qseq[idx],
-            endpos=self.endpos[idx],
-            mtid=self.mtid[idx],
-            mpos=self.mpos[idx],
-            xg=self.xg[idx],
-            nh=self.nh[idx],
-            seq=seq,
-            qual=qual,
-            refpos=refpos,
-        )
-
-
-    def cigar(self, i: int) -> np.ndarray:
-        """Raw CIGAR ops for read i (uint32 op-words, htslib encoding)."""
-        return self.cigar_flat[self.cigar_offsets[i] : self.cigar_offsets[i + 1]]
-
-    def read_arrays(self, i: int):
-        """(seq_codes, quals, refpos) ragged views for read i."""
-        o0, o1 = self.offsets[i], self.offsets[i + 1]
-        return self.seq_flat[o0:o1], self.qual_flat[o0:o1], self.refpos_flat[o0:o1]
-
+        self._finalize_order()
 
 class QnameView:
     """Lazy read-name accessor over the native decoder's blob (avoids
