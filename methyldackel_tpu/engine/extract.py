@@ -16,6 +16,7 @@ test fixtures.
 from __future__ import annotations
 
 import sys
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -427,17 +428,25 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
         # (getMappabilityValue's name lookup, common.c:213-223).
         cfg._mapp_by_tid = {t: cfg.mappability.get(n) for t, n in enumerate(hdr.names)}
 
-    bed_state = BedState()
     n_variant_positions = 0
+    # The reference's -@ worker pool (extract.c:1479-1484): windows are
+    # independent tasks (BED scans start from an order-free lower bound,
+    # io/bed.lower_bound) whose results drain strictly in genome order —
+    # the ticket-ordered flush (extract.c:514-535) without the spinning.
+    compute_lock = threading.Lock() if compute_backend is not None else None
 
-    for tid, lpos, lend in windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos, g_end):
+    def process_window(tid, lpos, lend):
         name = hdr.names[tid]
+        bed_state = BedState()
         if cfg.bed is not None:
+            bed_state.filter_idx = bed_state.col_idx = bedio.lower_bound(
+                cfg.bed, tid, lpos
+            )
             ok, bed_state.col_idx = bedio.span_overlaps_bed(
                 tid, lpos, lend, cfg.bed, bed_state.col_idx
             )
             if ok != 1:
-                continue
+                return None
         lpos2 = lpos - 2 if lpos > 1 else 0
         ref_window = fasta.fetch(name, lpos2, lend + 10)
         if ref_window is None or len(ref_window) == 0:
@@ -447,7 +456,7 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                 file=sys.stderr,
             )
             print("Note that the output will be truncated!", file=sys.stderr)
-            continue
+            return None
 
         with STATS.timer("window_prepare"):
             idx = bam.overlapping(tid, lpos, lend)
@@ -465,14 +474,42 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
         STATS.count("windows")
         STATS.count("reads_processed", int(keep.sum()))
         with STATS.timer("window_compute"), trace("window_compute"):
-            counters = compute(cfg, batch, strand_arr, keep, ref_window, lpos2,
-                               lpos, lend, rstrand)
+            if compute_lock is not None:
+                with compute_lock:
+                    counters = compute(cfg, batch, strand_arr, keep, ref_window,
+                                       lpos2, lpos, lend, rstrand)
+            else:
+                counters = compute(cfg, batch, strand_arr, keep, ref_window,
+                                   lpos2, lpos, lend, rstrand)
         with STATS.timer("window_emit"):
-            result = emit_window(cfg, name, tid, lpos, lend, lpos2, ref_window,
-                                 np.asarray(counters), covered)
-            n_variant_positions += result.n_variant_positions
-            for slot in range(3):
-                if result.lines[slot] and out_streams[slot] is not None:
-                    out_streams[slot].write("".join(result.lines[slot]))
+            return emit_window(cfg, name, tid, lpos, lend, lpos2, ref_window,
+                               np.asarray(counters), covered)
+
+    def drain(result):
+        nonlocal n_variant_positions
+        if result is None:
+            return
+        n_variant_positions += result.n_variant_positions
+        for slot in range(3):
+            if result.lines[slot] and out_streams[slot] is not None:
+                out_streams[slot].write("".join(result.lines[slot]))
+
+    win_iter = windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos, g_end)
+    n_threads = max(1, int(getattr(cfg, "nThreads", 1) or 1))
+    if n_threads == 1:
+        for tid, lpos, lend in win_iter:
+            drain(process_window(tid, lpos, lend))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        from collections import deque
+
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            inflight = deque()
+            for w in win_iter:
+                while len(inflight) >= 2 * n_threads:
+                    drain(inflight.popleft().result())
+                inflight.append(pool.submit(process_window, *w))
+            while inflight:
+                drain(inflight.popleft().result())
     STATS.report()
     return n_variant_positions

@@ -25,21 +25,28 @@ from . import svg
 
 
 def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
-    """Run the window loop and return the merged [4,2,2,L] uint64 counters."""
+    """Run the window loop and return the merged [4,2,2,L] uint64 counters.
+
+    With -@ > 1 windows run on a thread pool; the per-window counter deltas
+    are associative uint64 adds, so the merge is order-free — the TPU-shaped
+    form of the reference's per-thread strandMeth merge (MBias.c:541-552)."""
     hdr = bam.header
     max_len = int(bam.l_qseq.max()) if bam.n_reads else 0
     counters = np.zeros((4, 2, 2, max_len), dtype=np.uint64)
-    bed_state = BedState()
     keep_ctx = (cfg.keepCpG, cfg.keepCHG, cfg.keepCHH)
 
-    for tid, lpos, lend in windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos, g_end):
+    def process_window(tid, lpos, lend):
         name = hdr.names[tid]
+        bed_state = BedState()
         if cfg.bed is not None:
+            bed_state.filter_idx = bed_state.col_idx = bedio.lower_bound(
+                cfg.bed, tid, lpos
+            )
             ok, bed_state.col_idx = bedio.span_overlaps_bed(
                 tid, lpos, lend, cfg.bed, bed_state.col_idx
             )
             if ok != 1:
-                continue
+                return None
         # mbias fetches [localPos, localEnd] closed with no left slack
         # (MBias.c:147), unlike extract's localPos-2 .. +10 window.
         ref_window = fasta.fetch(name, lpos, lend)
@@ -48,7 +55,7 @@ def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
                 f"faidx_fetch_seq returned -2 while trying to fetch the sequence "
                 f"for tid {name}:{lpos}-{lend}!\nNote that the output will be truncated!\n"
             )
-            return counters
+            return StopIteration
 
         idx = bam.overlapping(tid, lpos, lend)
         batch = bam.batch(idx)
@@ -57,7 +64,7 @@ def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
                                     ref_window, lpos)
         kidx = np.nonzero(keep)[0]
         if not len(kidx):
-            continue
+            return None
         seq = batch.seq[kidx]
         qual = batch.qual[kidx]
         refpos = batch.refpos[kidx]
@@ -75,10 +82,47 @@ def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
             odd = (st.astype(np.int64) & 1)[:, None] == 1
             keep_base &= (rs == 0) | ((rs == 1) & odd) | ((rs == 2) & ~odd)
 
-        counters += sem.mbias_counters(
+        return sem.mbias_counters(
             seq, qual, refpos, st, flag, keep_base, ref_window, lpos,
             lpos, lend, keep_ctx, cfg.minPhred, max_len,
         )
+
+    win_iter = windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos, g_end)
+    n_threads = max(1, int(getattr(cfg, "nThreads", 1) or 1))
+    if n_threads == 1:
+        for w in win_iter:
+            delta = process_window(*w)
+            if delta is StopIteration:
+                return counters
+            if delta is not None:
+                counters += delta
+        return counters
+    from concurrent.futures import ThreadPoolExecutor
+    from collections import deque
+
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        inflight = deque()
+
+        def drain_one():
+            delta = inflight.popleft().result()
+            if delta is StopIteration:
+                return False
+            if delta is not None:
+                counters_acc(delta)
+            return True
+
+        def counters_acc(delta):
+            nonlocal counters
+            counters += delta
+
+        for w in win_iter:
+            while len(inflight) >= 2 * n_threads:
+                if not drain_one():
+                    return counters
+            inflight.append(pool.submit(process_window, *w))
+        while inflight:
+            if not drain_one():
+                return counters
     return counters
 
 

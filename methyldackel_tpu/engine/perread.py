@@ -116,30 +116,25 @@ def run_perread(cfg, out) -> None:
         if cfg.bed is None:
             raise RuntimeError("There was an error while reading in your BED file!")
         sys.stderr.write(f"Parsed {cfg.bed.n} regions in {cfg.bedName}\n")
-    bed_state = BedState()
-
-    # perRead's scheduler claims windows WITHOUT the CpG/CHG boundary
-    # adjustment (perRead.c:133-156 has no adjustBounds call).
-    for tid, lpos, lend in windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos, g_end,
-                                   adjust=False):
+    def process_window(tid, lpos, lend):
         name = hdr.names[tid]
         if cfg.bed is not None:
-            ok, bed_state.col_idx = bedio.span_overlaps_bed(
-                tid, lpos, lend, cfg.bed, bed_state.col_idx
-            )
+            start_idx = bedio.lower_bound(cfg.bed, tid, lpos)
+            ok, _ = bedio.span_overlaps_bed(tid, lpos, lend, cfg.bed, start_idx)
             if ok != 1:
-                continue
+                return None
         lpos2 = lpos - 2 if lpos > 1 else 0
         # 10 kb right slack (perRead.c:186); longer-spanning reads are wrong
         # by design in the reference too.
         ref_window = fasta.fetch(name, lpos2, lend + 10000)
         if ref_window is None:
-            continue
+            return None
         seq_len = len(ref_window)
 
         mask = (bam.tid == tid) & (bam.pos >= lpos) & (bam.pos < lend)
         idx = np.nonzero(mask)[0]
         idx = idx[np.argsort(bam.pos[idx], kind="stable")]
+        lines = []
         for i in idx:
             flag = int(bam.flag[i])
             if cfg.requireFlags and (cfg.requireFlags & flag) != cfg.requireFlags:
@@ -153,7 +148,37 @@ def run_perread(cfg, out) -> None:
                                     np.array([bam.xg[i]], np.int8))[0])
             nm, nu = process_read(cfg, seq_codes, quals, bam.cigar(i),
                                   int(bam.pos[i]), strand, ref_window, lpos2, seq_len)
-            out.write(add_read(bam.qname[i], name, int(bam.pos[i]), nm, nu))
+            lines.append(add_read(bam.qname[i], name, int(bam.pos[i]), nm, nu))
+        return lines
+
+    # perRead's scheduler claims windows WITHOUT the CpG/CHG boundary
+    # adjustment (perRead.c:133-156 has no adjustBounds call); with -@ > 1
+    # windows run on a thread pool and drain in genome order (the
+    # ticket-ordered flush, perRead.c:201-212).
+    win_iter = windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos, g_end,
+                       adjust=False)
+    n_threads = max(1, int(getattr(cfg, "nThreads", 1) or 1))
+    if n_threads == 1:
+        for w in win_iter:
+            lines = process_window(*w)
+            if lines:
+                out.write("".join(lines))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        from collections import deque
+
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            inflight = deque()
+            for w in win_iter:
+                while len(inflight) >= 2 * n_threads:
+                    lines = inflight.popleft().result()
+                    if lines:
+                        out.write("".join(lines))
+                inflight.append(pool.submit(process_window, *w))
+            while inflight:
+                lines = inflight.popleft().result()
+                if lines:
+                    out.write("".join(lines))
 
 
 _PERREAD_LOPTS = [

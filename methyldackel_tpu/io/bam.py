@@ -112,20 +112,27 @@ class AlignmentSoA:
         return idx[np.argsort(key, kind="stable")]
 
     def batch(self, idx: np.ndarray, width: int | None = None) -> ReadBatch:
-        """Materialize a padded ReadBatch for the given read indices."""
+        """Materialize a padded ReadBatch for the given read indices.
+
+        The ragged→padded copy is a single vectorized [N, L] gather over the
+        flat SoA arrays (no per-read Python loop)."""
         idx = np.asarray(idx, dtype=np.int64)
         nreads = len(idx)
         lq = self.l_qseq[idx] if nreads else np.zeros(0, np.int32)
         L = int(width) if width is not None else (int(lq.max()) if nreads else 0)
-        seq = np.zeros((nreads, L), dtype=np.uint8)
-        qual = np.zeros((nreads, L), dtype=np.uint8)
-        refpos = np.full((nreads, L), -2, dtype=np.int64)
-        for row, i in enumerate(idx):
-            o0, o1 = self.offsets[i], self.offsets[i + 1]
-            m = int(o1 - o0)
-            seq[row, :m] = self.seq_flat[o0:o1]
-            qual[row, :m] = self.qual_flat[o0:o1]
-            refpos[row, :m] = self.refpos_flat[o0:o1]
+        if nreads and L and self.seq_flat.size:
+            starts = self.offsets[idx].astype(np.int64)
+            lens = (self.offsets[idx + 1] - self.offsets[idx]).astype(np.int64)
+            cols = np.arange(L, dtype=np.int64)
+            valid = cols[None, :] < lens[:, None]
+            src = np.where(valid, starts[:, None] + cols[None, :], 0)
+            seq = np.where(valid, self.seq_flat[src], 0).astype(np.uint8, copy=False)
+            qual = np.where(valid, self.qual_flat[src], 0).astype(np.uint8, copy=False)
+            refpos = np.where(valid, self.refpos_flat[src], -2)
+        else:
+            seq = np.zeros((nreads, L), dtype=np.uint8)
+            qual = np.zeros((nreads, L), dtype=np.uint8)
+            refpos = np.full((nreads, L), -2, dtype=np.int64)
         return ReadBatch(
             qname=[self.qname[i] for i in idx],
             flag=self.flag[idx],

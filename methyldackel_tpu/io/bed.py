@@ -83,6 +83,35 @@ def _is_gzip(path: str) -> bool:
         return fh.read(2) == b"\x1f\x8b"
 
 
+def lower_bound(regs: BedRegions, tid: int, pos: int) -> int:
+    """Smallest region index worth scanning for any span/position >= pos on
+    tid. Regions are sorted by (tid, start) (sortBED, bed.c:66-85); within a
+    tid the running max of `end` is monotone, so every region before the
+    returned index has tid < `tid`, or end <= pos — neither can overlap
+    [pos, ...). A forward scan (spanOverlapsBED / posOverlapsBED semantics)
+    started here returns the same results as one started at 0 or at any
+    sequential resumable index, which makes per-window scans order-free and
+    lets windows be processed in parallel."""
+    n = regs.n
+    if n == 0:
+        return 0
+    cm = getattr(regs, "_cummax_end", None)
+    if cm is None:
+        cm = np.empty(n, dtype=np.int64)
+        lo = 0
+        while lo < n:
+            hi = int(np.searchsorted(regs.tid, regs.tid[lo], side="right"))
+            cm[lo:hi] = np.maximum.accumulate(regs.end[lo:hi])
+            lo = hi
+        regs._cummax_end = cm
+    lo = int(np.searchsorted(regs.tid, tid, side="left"))
+    hi = int(np.searchsorted(regs.tid, tid, side="right"))
+    j = lo + int(np.searchsorted(cm[lo:hi], pos, side="right"))
+    # span_overlaps_bed probes regs[idx] unconditionally (bed.c:28); keep the
+    # index in range — the extra region is scanned, not matched.
+    return min(j, n - 1)
+
+
 def _compare_regions(tid0, start0, end0, tid1, start1, end1) -> int:
     """compareRegions (bed.c:11-16): <0 before, >0 after, 0 overlap."""
     if tid0 != tid1:

@@ -21,6 +21,7 @@ class Stats:
         self.t = defaultdict(float)
         self.n = defaultdict(int)
         self._start = time.perf_counter()
+        self._lock = __import__("threading").Lock()
 
     @contextlib.contextmanager
     def timer(self, name: str):
@@ -31,11 +32,14 @@ class Stats:
         try:
             yield
         finally:
-            self.t[name] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.t[name] += dt
 
     def count(self, name: str, n: int = 1):
         if self.enabled:
-            self.n[name] += n
+            with self._lock:
+                self.n[name] += n
 
     def report(self, out=None):
         if not self.enabled:

@@ -112,3 +112,30 @@ def test_merge_host_outputs(tmp_path):
     out.write_text("header\n")
     merge_host_outputs(str(tmp_path / "p"), str(out), n_hosts, n_windows)
     assert out.read_text() == "header\n" + "".join(f"w{i}\n" for i in range(n_windows))
+
+
+def test_thread_count_invariance(fixture_dir):
+    """-@ N gives byte-identical output to -@ 1 for any N (the reference's
+    determinism property, extract.c:514-535) — windows run on a thread pool
+    but drain in genome order."""
+    base = ["extract", "--chunkSize", "16", "cg100.fa", "cg_aln.bam",
+            "-q", "2"]
+    md(base + ["-o", "st"], fixture_dir)
+    md(base + ["-@", "4", "-o", "mt"], fixture_dir)
+    a = open(fixture_dir / "st_CpG.bedGraph").read().splitlines()[1:]
+    b = open(fixture_dir / "mt_CpG.bedGraph").read().splitlines()[1:]
+    assert a == b and len(a) > 2
+
+
+def test_thread_count_invariance_bed(fixture_dir):
+    """Threaded windows with a BED filter: per-window lower-bound BED scans
+    must reproduce the sequential resumable-index walk exactly."""
+    with open(fixture_dir / "r.bed", "w") as fh:
+        fh.write("chrCG\t0\t20\nchrCG\t33\t50\nchrCG\t60\t78\n")
+    base = ["extract", "--chunkSize", "16", "-l", "r.bed", "cg100.fa",
+            "cg_aln.bam", "-q", "2"]
+    md(base + ["-o", "bst"], fixture_dir)
+    md(base + ["-@", "3", "-o", "bmt"], fixture_dir)
+    a = open(fixture_dir / "bst_CpG.bedGraph").read().splitlines()[1:]
+    b = open(fixture_dir / "bmt_CpG.bedGraph").read().splitlines()[1:]
+    assert a == b and len(a) > 1

@@ -77,3 +77,20 @@ def test_merge_context_matches_merge_flag(fixture_dir):
     a = open(fixture_dir / "m1_CpG.bedGraph").read().splitlines()[1:]
     b = r.stdout.splitlines()[1:]
     assert a == b
+
+
+def test_mbias_thread_invariance(fixture_dir):
+    r1 = md(["mbias", "--txt", "--noSVG", "cg100.fa", "cg_aln.bam", "-q", "2"],
+            fixture_dir)
+    r2 = md(["mbias", "--txt", "--noSVG", "-@", "4", "--chunkSize", "16",
+             "cg100.fa", "cg_aln.bam", "-q", "2"], fixture_dir)
+    assert r1.returncode == 0 and r2.returncode == 0
+    assert r1.stdout == r2.stdout and r1.stdout.strip()
+
+
+def test_perread_thread_invariance(fixture_dir):
+    r1 = md(["perRead", "cg100.fa", "cg_aln.bam", "-q", "2"], fixture_dir)
+    r2 = md(["perRead", "-@", "3", "--chunkSize", "16", "cg100.fa",
+             "cg_aln.bam", "-q", "2"], fixture_dir)
+    assert r1.returncode == 0 and r2.returncode == 0
+    assert r1.stdout == r2.stdout and r1.stdout.strip()
