@@ -177,9 +177,50 @@ def bench_pallas(batch, ref_ascii, W, iters):
     return dt
 
 
+def bench_e2e_fused(batch, ref_ascii, W, iters):
+    """The production window step: everything compute_window_counters_fast
+    does per window — host prep (gapless split, pair mating, sorting, group
+    tables), ONE host→device transfer of the compact raw arrays, the fused
+    prealign→arbitrate→pileup→epilogue device program, and the counter
+    readback. This is what the CLI pays per 1 Mb window."""
+    import jax
+    from methyldackel_tpu.ops import semantics as sem
+    from methyldackel_tpu.parallel import device as dev
+    from methyldackel_tpu.config import Config
+
+    cfg = Config()
+    cfg.chunkSize = W
+    st = sem.strand(batch.flag, batch.xg)
+    keep = np.ones(batch.n, dtype=bool)
+
+    def run():
+        out = dev.compute_window_counters_fast(cfg, batch, st, keep,
+                                               ref_ascii, 0, 0, W)
+        assert out is not None
+        return out
+
+    out = run()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    dt = (time.perf_counter() - t0) / iters
+
+    hq = batch.qual.copy()
+    a_idx = np.arange(0, batch.n, 2)
+    sem.arbitrate_overlaps(batch.seq, hq, batch.refpos, st, a_idx, a_idx + 1)
+    host = sem.pileup_channels(batch.seq, hq, batch.refpos, st,
+                               np.ones(batch.seq.shape, bool), ref_ascii,
+                               0, 0, W, 5)
+    if not np.array_equal(np.asarray(out), host):
+        raise AssertionError("fused e2e pipeline diverges from host semantics")
+    return dt
+
+
 def main():
     from methyldackel_tpu.utils.simulate import random_reference, simulate_batch_fast
+    from methyldackel_tpu.parallel import enable_persistent_cache
 
+    enable_persistent_cache()
     rng = np.random.default_rng(0)
     W = 1 << 20
     n_pairs = int(os.environ.get("MDTPU_BENCH_PAIRS", 50_000))
@@ -191,6 +232,8 @@ def main():
 
     if mode == "xla":
         dt = bench_xla(batch, ref_ascii, W, iters)
+    elif mode == "e2e":
+        dt = bench_e2e_fused(batch, ref_ascii, W, iters)
     else:
         dt = bench_pallas(batch, ref_ascii, W, iters)
     reads_per_s = batch.n / dt

@@ -96,6 +96,65 @@ def process_read(cfg, seq_codes, quals, cigar, read_pos0, strand, ref_window,
     return n_meth, n_unmeth
 
 
+def process_reads_gapless(cfg, seq, qual, pos, lq, strand, ref_window,
+                          seq_start, seq_len):
+    """Vectorized processRead for reads whose CIGAR consumes query and
+    reference 1:1 (no I/S/D/N; H/P are no-ops in the walker). Reproduces
+    the low-qual quirk exactly: from cursor j, qual[j] < minPhred evaluates
+    position j+1 WITHOUT a quality re-check and the next cursor is j+2
+    (perRead.c:59-63); the chain is stepped for all reads at once.
+    Returns (n_meth[N], n_unmeth[N])."""
+    N, L = seq.shape
+    lq = np.asarray(lq, np.int64)
+    pos = np.asarray(pos, np.int64)
+    rw = np.asarray(ref_window)
+    is_c = rw == ord("C")
+    is_g = rw == ord("G")
+    nxt_g = np.zeros(len(rw), bool)
+    nxt_g[:-1] = is_g[1:]
+    prv_c = np.zeros(len(rw), bool)
+    prv_c[1:] = is_c[:-1]
+    dirv = np.where(is_c & nxt_g, np.int8(1),
+                    np.where(is_g & prv_c, np.int8(-1), np.int8(0)))
+
+    nm = np.zeros(N, np.int64)
+    nu = np.zeros(N, np.int64)
+    odd = (np.asarray(strand, np.int64) & 1) == 1
+    rows = np.arange(N)
+    cursor = np.zeros(N, np.int64)
+    active = cursor < lq
+    min_phred = cfg.minPhred
+    while active.any():
+        j = np.clip(cursor, 0, L - 1)
+        lowq = active & (qual[rows, j] < min_phred)
+        e = np.where(lowq, cursor + 1, cursor)
+        evaluate = active & (e < lq)  # low-qual at the last base: break, no eval
+        ec = np.clip(e, 0, L - 1)
+        widx = pos + e - seq_start
+        inw = evaluate & (widx >= 0) & (widx < seq_len)
+        d = np.zeros(N, np.int8)
+        d[inw] = dirv[widx[inw]]
+        base = seq[rows, ec]
+        top = (d == 1) & odd
+        bot = (d == -1) & ~odd
+        nm += (top & (base == BASE_C)) | (bot & (base == BASE_G))
+        nu += (top & (base == BASE_T)) | (bot & (base == BASE_A))
+        cursor = np.where(active, np.where(lowq, cursor + 2, cursor + 1), cursor)
+        active = cursor < lq
+    return nm, nu
+
+
+def _has_indel_clip(bam, idx):
+    """Per-read: CIGAR contains I/S/D/N (op codes 1-4 except... I=1, D=2,
+    N=3, S=4) — those reads take the exact scalar walker."""
+    n = len(idx)
+    out = np.zeros(n, bool)
+    for k, i in enumerate(idx):
+        ops = bam.cigar(i) & 0xF
+        out[k] = bool(np.isin(ops, (1, 2, 3, 4)).any())
+    return out
+
+
 def add_read(qname: str, chrom: str, pos: int, n_meth: int, n_unmeth: int) -> str:
     """addRead (perRead.c:16-35) — note the literal '0.0' for empty reads."""
     if n_meth + n_unmeth > 0:
@@ -134,22 +193,39 @@ def run_perread(cfg, out) -> None:
         mask = (bam.tid == tid) & (bam.pos >= lpos) & (bam.pos < lend)
         idx = np.nonzero(mask)[0]
         idx = idx[np.argsort(bam.pos[idx], kind="stable")]
-        lines = []
-        for i in idx:
-            flag = int(bam.flag[i])
-            if cfg.requireFlags and (cfg.requireFlags & flag) != cfg.requireFlags:
-                continue
-            if cfg.ignoreFlags and (cfg.ignoreFlags & flag) != 0:
-                continue
-            if bam.mapq[i] < cfg.minMapq:
-                continue
+        # Flag/MAPQ gates, vectorized (perRead.c:188-195: inline, not
+        # filter_func — note requireFlags/ignoreFlags semantics match).
+        flags = bam.flag[idx].astype(np.int64)
+        keep = np.ones(len(idx), bool)
+        if cfg.requireFlags:
+            keep &= (flags & cfg.requireFlags) == cfg.requireFlags
+        if cfg.ignoreFlags:
+            keep &= (flags & cfg.ignoreFlags) == 0
+        keep &= bam.mapq[idx] >= cfg.minMapq
+        idx = idx[keep]
+        if not len(idx):
+            return []
+        strands = sem.strand(bam.flag[idx], bam.xg[idx])
+        # Indel-free reads take the vectorized chain walker; the rest run
+        # the exact scalar state machine.
+        hard = _has_indel_clip(bam, idx)
+        nm = np.zeros(len(idx), np.int64)
+        nu = np.zeros(len(idx), np.int64)
+        if (~hard).any():
+            sub = np.nonzero(~hard)[0]
+            batch = bam.batch(idx[sub])
+            nm[sub], nu[sub] = process_reads_gapless(
+                cfg, batch.seq, batch.qual, batch.pos, batch.l_qseq,
+                strands[sub], ref_window, lpos2, seq_len)
+        for k in np.nonzero(hard)[0]:
+            i = idx[k]
             seq_codes, quals, _ = bam.read_arrays(i)
-            strand = int(sem.strand(np.array([flag], np.uint16),
-                                    np.array([bam.xg[i]], np.int8))[0])
-            nm, nu = process_read(cfg, seq_codes, quals, bam.cigar(i),
-                                  int(bam.pos[i]), strand, ref_window, lpos2, seq_len)
-            lines.append(add_read(bam.qname[i], name, int(bam.pos[i]), nm, nu))
-        return lines
+            nm[k], nu[k] = process_read(cfg, seq_codes, quals, bam.cigar(i),
+                                        int(bam.pos[i]), int(strands[k]),
+                                        ref_window, lpos2, seq_len)
+        return [add_read(bam.qname[i], name, int(bam.pos[i]),
+                         int(nm[k]), int(nu[k]))
+                for k, i in enumerate(idx)]
 
     # perRead's scheduler claims windows WITHOUT the CpG/CHG boundary
     # adjustment (perRead.c:133-156 has no adjustBounds call); with -@ > 1

@@ -51,6 +51,12 @@ def _arb_kernel(sa_ref, qa_ref, sb_ref, qb_ref, oa_ref, ob_ref, *, LP2, max_shif
         else:
             bb_s = bbase
             qb_s = qb
+        # Only positions covered by BOTH mates are shared (overlaps.c walks
+        # the common span). Pad bytes are base-code 0, which no real base
+        # uses, so (ba != 0) & (bb_s != 0) is exactly "both aligned here" —
+        # without it an N base (qual > 0) facing a pad hits the zero_d rule
+        # and is wrongly zeroed.
+        hasv = (ba != 0) & (bb_s != 0)
         differ = ba != bb_s
         awins_d = differ & (qa > qb_s) & (ba != BASE_N)
         bwins_d = differ & ~awins_d & (qb_s > qa) & (bb_s != BASE_N)
@@ -67,6 +73,8 @@ def _arb_kernel(sa_ref, qa_ref, sb_ref, qb_ref, oa_ref, ob_ref, *, LP2, max_shif
             jnp.where(bwins_s, boost(qb_s),
                       jnp.where(awins_d | awins_s | zero_d, 0, qb_s)),
         )
+        na_s = jnp.where(hasv, na_s, qa)
+        nbal = jnp.where(hasv, nbal, qb_s)
         if off:
             zpad2 = jnp.zeros_like(nbal[:, :off])
             nb_s = jnp.concatenate([nbal[:, off:], zpad2], axis=1)

@@ -222,7 +222,39 @@ def arbitrate_overlaps(seq, qual, refpos, strand_arr, a_idx, b_idx):
     - bases agree: winner (a on ties... b on ties — the C's else branch) gets
       floor(1.2*q) through uint8 wraparound, loser zeroed.
     Pairs on incompatible strands (parity differs) are skipped.
+
+    Gapless pairs (both mates a single aligned run: refpos == start + col)
+    take a vectorized all-pairs shift-aligned path; pairs containing indel/
+    clipped mates fall back to the per-pair intersect loop. Both produce the
+    C's per-position results exactly (the state machine is position-local).
     """
+    a_idx = np.asarray(a_idx, dtype=np.int64)
+    b_idx = np.asarray(b_idx, dtype=np.int64)
+    if len(a_idx):
+        N, L = refpos.shape
+        col = np.arange(L, dtype=np.int64)
+        valid = refpos >= 0
+        nvalid = valid.sum(axis=1)
+        start = refpos[:, 0]
+        expect = start[:, None] + col[None, :]
+        gapless = (
+            (start >= 0)
+            & (valid == (col[None, :] < nvalid[:, None])).all(axis=1)
+            & np.where(valid, refpos == expect, True).all(axis=1)
+        )
+        compatible = ((strand_arr[a_idx] - strand_arr[b_idx]) & 1) == 0
+        fast = compatible & gapless[a_idx] & gapless[b_idx]
+        if fast.any():
+            _arbitrate_gapless_dense(seq, qual, refpos, nvalid,
+                                     a_idx[fast], b_idx[fast])
+        a_idx = a_idx[~fast]
+        b_idx = b_idx[~fast]
+    return _arbitrate_pairs_loop(seq, qual, refpos, strand_arr, a_idx, b_idx)
+
+
+def _arbitrate_pairs_loop(seq, qual, refpos, strand_arr, a_idx, b_idx):
+    """Per-pair intersect1d arbitration (handles indels/clips); the oracle
+    for the dense fast path. Mutates qual in place."""
     for a, b in zip(a_idx, b_idx):
         if ((int(strand_arr[a]) - int(strand_arr[b])) & 1) == 1:
             continue
@@ -256,6 +288,72 @@ def arbitrate_overlaps(seq, qual, refpos, strand_arr, a_idx, b_idx):
         qual[a][ia] = new_qa.astype(np.uint8)
         qual[b][ib] = new_qb.astype(np.uint8)
     return qual
+
+
+def _arbitrate_gapless_dense(seq, qual, refpos, nvalid, a_idx, b_idx):
+    """All-pairs vectorized arbitration for gapless mates.
+
+    Every mate is a single aligned run (refpos == start + col), so mate b's
+    bases land in mate a's frame at column j - (start_b - start_a): one
+    take_along_axis per side replaces the per-pair intersect1d. Rules and
+    the a/b role asymmetry (the agree-tie boost goes to b,
+    overlaps.c:95-103) are identical to the loop path. Mutates qual."""
+    L = seq.shape[1]
+    col = np.arange(L, dtype=np.int64)[None, :]
+    d = (refpos[b_idx, 0] - refpos[a_idx, 0])[:, None]  # b start in a frame
+    # Snapshot both sides: each side's update reads the OTHER side's
+    # pre-update quals (the C rewrites from the captured pair state,
+    # overlaps.c:70-115) — writing a first must not feed into b's pass.
+    qa_orig = qual[a_idx].astype(np.int64)
+    qb_orig = qual[b_idx].astype(np.int64)
+    seq_a = seq[a_idx]
+    seq_b = seq[b_idx]
+    nv_a = nvalid[a_idx][:, None]
+    nv_b = nvalid[b_idx][:, None]
+
+    def aligned_views(q_other, s_other, nv_self, nv_other, shift):
+        # other-mate base/qual seen from self's frame: self col j ↔ other
+        # col j - shift; returns (qual_o, base_o, has) with has = both
+        # in-read and the shifted column in range.
+        jo = col - shift
+        in_range = (jo >= 0) & (jo < L)
+        joc = np.clip(jo, 0, L - 1)
+        q_o = np.take_along_axis(q_other, joc, 1)
+        b_o = np.take_along_axis(s_other, joc, 1)
+        has = in_range & (col < nv_self) & (jo < nv_other)
+        return q_o, b_o, has
+
+    qa = qa_orig
+    ba = seq_a
+    qb_al, bb_al, has_a = aligned_views(qb_orig, seq_b, nv_a, nv_b, d)
+    differ = ba != bb_al
+    awins_d = differ & (qa > qb_al) & (ba != N)
+    bwins_d = differ & ~awins_d & (qb_al > qa) & (bb_al != N)
+    zero_d = differ & ~awins_d & ~bwins_d
+    awins_s = ~differ & (qa > qb_al)
+    bwins_s = ~differ & ~awins_s
+    new_qa = np.select(
+        [awins_d, awins_s, bwins_d | bwins_s | zero_d],
+        [qa - qb_al, QUAL_BOOST[qa], 0],
+        default=qa,
+    )
+    qual[a_idx] = np.where(has_a, new_qa, qa).astype(np.uint8)
+
+    qb = qb_orig
+    bb = seq_b
+    qa_al, ba_al, has_b = aligned_views(qa_orig, seq_a, nv_b, nv_a, -d)
+    differ = ba_al != bb
+    awins_d = differ & (qa_al > qb) & (ba_al != N)
+    bwins_d = differ & ~awins_d & (qb > qa_al) & (bb != N)
+    zero_d = differ & ~awins_d & ~bwins_d
+    awins_s = ~differ & (qa_al > qb)
+    bwins_s = ~differ & ~awins_s
+    new_qb = np.select(
+        [bwins_d, bwins_s, awins_d | awins_s | zero_d],
+        [qb - qa_al, QUAL_BOOST[qb], 0],
+        default=qb,
+    )
+    qual[b_idx] = np.where(has_b, new_qb, qb).astype(np.uint8)
 
 
 # ----------------------------------------------------------- methylation call

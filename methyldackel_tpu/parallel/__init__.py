@@ -11,6 +11,26 @@ from __future__ import annotations
 import os
 
 
+def enable_persistent_cache():
+    """Persistent XLA compilation cache. TPU compiles here go through a
+    remote-compile tunnel with highly variable latency (20-220 s per
+    program); caching the serialized executables on disk makes every
+    process after the first skip the tunnel entirely. Opt out with
+    MDTPU_JAX_CACHE_DIR=0."""
+    d = os.environ.get("MDTPU_JAX_CACHE_DIR",
+                       os.path.expanduser("~/.cache/methyldackel_tpu/jax"))
+    if not d or d == "0":
+        return
+    try:
+        import jax
+
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def select_backend(cfg):
     mode = os.environ.get("MDTPU_ENGINE", "auto")
     if mode == "host":
@@ -22,6 +42,7 @@ def select_backend(cfg):
             raise
         return None
     if mode == "jax":
+        enable_persistent_cache()
         return make_device_backend(cfg)
     # auto: only use the device path when an accelerator is present
     try:
@@ -31,5 +52,6 @@ def select_backend(cfg):
     except Exception:
         return None
     if platform in ("tpu", "axon"):
+        enable_persistent_cache()
         return make_device_backend(cfg)
     return None

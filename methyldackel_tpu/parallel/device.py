@@ -287,6 +287,10 @@ def arbitrate_prealigned(seq_a, qual_a, aligned_pos, strand, flag, max_shift_blo
         off = s * 128
         bb_s = jnp.pad(bb, ((0, 0), (off, 0)))[:, :LPW]
         qb_s = jnp.pad(qb, ((0, 0), (off, 0)))[:, :LPW]
+        # Shared positions only: pads are base-code 0 (no real base is 0),
+        # so an N base facing a pad must keep its qual (see
+        # ops.arbitrate_pallas._arb_kernel).
+        hasv = (ba != 0) & (bb_s != 0)
         differ = ba != bb_s
         awins_d = differ & (qa > qb_s) & (ba != BASE_N)
         bwins_d = differ & ~awins_d & (qb_s > qa) & (bb_s != BASE_N)
@@ -302,6 +306,8 @@ def arbitrate_prealigned(seq_a, qual_a, aligned_pos, strand, flag, max_shift_blo
             [qb_s - qa, boost(qb_s), jnp.zeros_like(qb_s)],
             default=qb_s,
         )
+        na = jnp.where(hasv, na, qa)
+        nb_aligned = jnp.where(hasv, nb_aligned, qb_s)
         nb = jnp.pad(nb_aligned, ((0, 0), (0, off)))[:, off : LPW + off]
         # b columns past the aligned range (positions beyond a's row) never
         # overlap a and must keep their original quals, not the shift pad.
@@ -345,15 +351,91 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "LP2", "PB", "max_shift", "ntiles", "T", "HALO_L",
+                     "LP", "K", "GMAX", "min_phred", "W"),
+)
+def _fused_fast_window(seq, qual, pos_rel, parity, pa, pb, code, srtk, cntk,
+                       ref, woff_rel, *, L, LP2, PB, max_shift, ntiles, T,
+                       HALO_L, LP, K, GMAX, min_phred, W):
+    """The whole gapless fast path as ONE device program, so the host ships
+    only the compact raw arrays (seq/qual [Nb, L] u8 + scalars) once per
+    window — the host↔device link (slow under the axon tunnel) sees ~4x
+    less traffic than shipping the phase-aligned [Nb, LP2] layout for
+    arbitration and pileup separately.
+
+    Stages: phase-align (per-row gather by pos%128, parity in bit 5) →
+    pair row-gather → Pallas arbitration (shift code in bits 6-7) → row
+    scatter of arbitrated quals → Pallas tile pileup → reference-dependent
+    channel epilogue. Rows must arrive sorted by aligned start; pad pairs
+    carry code 3 (ineligible) and point at the final zero row."""
+    from ..ops import arbitrate_pallas as ak
+    from ..ops import pileup_pallas as pk
+
+    col = jnp.arange(LP2, dtype=jnp.int32)[None, :]
+    pad = (pos_rel.astype(jnp.int32) % 128)[:, None]
+    src = col - pad
+    ok = (src >= 0) & (src < L)
+    srcc = jnp.clip(src, 0, L - 1)
+    seq_a = jnp.take_along_axis(seq, srcc, axis=1)
+    seq_a = jnp.where(ok, seq_a | (parity[:, None] << 5), 0).astype(jnp.uint8)
+    qual_a = jnp.where(ok, jnp.take_along_axis(qual, srcc, axis=1), 0).astype(jnp.uint8)
+
+    sa = seq_a[pa] | (code[:, None] << 6)
+    na, nb = ak.arbitrate_pallas(sa, qual_a[pa], seq_a[pb], qual_a[pb],
+                                 PB=PB, LP2=LP2, max_shift=max_shift)
+    qual_a = qual_a.at[pa].set(na).at[pb].set(nb)
+
+    tiles = pk._pileup_tiles(srtk, cntk, seq_a, qual_a, ntiles=ntiles, T=T,
+                             HALO_L=HALO_L, LP=LP, LP2=LP2, K=K, GMAX=GMAX,
+                             min_phred=min_phred)
+    return pk.counts_to_channels(tiles[:, :W], ref, woff_rel, W)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "LP2", "PB", "max_shift", "ntiles", "T", "HALO_L",
+                     "LP", "K", "GMAX", "min_phred", "W", "NCH"),
+)
+def _fused_fast_window_packed(seq, qual, pos_rel, parity, pa, pb, code, srtk,
+                              cntk, ref, woff_rel, cand, *, L, LP2, PB,
+                              max_shift, ntiles, T, HALO_L, LP, K, GMAX,
+                              min_phred, W, NCH):
+    """_fused_fast_window with a compact return: the emit path only reads
+    counters at context positions (ref base C or G — everything else is
+    CTX_NONE and never emitted), and only channels [meth, unmeth] unless
+    variant exclusion is on. The device gathers those NCH × |cand| values
+    and ships them as uint16 + an overflow flag — the device→host link is
+    ~10x slower than host→device under the axon tunnel, so the counter
+    readback (16 MB of [W, 4] uint32 per 1 Mb window) was the single
+    largest cost of the warm window step. Overflow (per-base depth > 65535)
+    flips the flag and the host refetches via the wide path."""
+    full = _fused_fast_window(
+        seq, qual, pos_rel, parity, pa, pb, code, srtk, cntk, ref, woff_rel,
+        L=L, LP2=LP2, PB=PB, max_shift=max_shift, ntiles=ntiles, T=T,
+        HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, min_phred=min_phred, W=W,
+    )  # [4, W] uint32 (inlined; XLA fuses the gather into the epilogue)
+    sel = full[:NCH, cand]
+    overflow = jnp.any(sel > jnp.uint32(0xFFFF))
+    return sel.astype(jnp.uint16), overflow
+
+
 def _rows_gapless(refpos, pos, l_qseq):
     """Rows whose aligned positions are exactly pos+j for j<l_qseq (single-M
-    CIGAR) — eligible for the Pallas fast path."""
+    CIGAR) — eligible for the Pallas fast path.
+
+    Valid aligned positions are strictly increasing, so "first == pos, last
+    == pos+lq-1, and no -1/-2 inside the read" implies the whole row is
+    consecutive — two [N, L] passes instead of five."""
     N, L = refpos.shape
-    col = np.arange(L)[None, :]
-    inread = col < l_qseq[:, None]
-    expect = pos[:, None] + col
-    ok = np.where(inread, refpos == expect, True)
-    return ok.all(axis=1)
+    lq = np.asarray(l_qseq, np.int64)
+    rows = np.arange(N)
+    first_ok = refpos[:, 0] == pos
+    last_ok = refpos[rows, np.clip(lq - 1, 0, L - 1)] == pos + lq - 1
+    col = np.arange(L, dtype=np.int64)[None, :]
+    any_gap = ((refpos < 0) & (col < lq[:, None])).any(axis=1)
+    return np.where(lq > 0, first_ok & last_ok & ~any_gap, True)
 
 
 def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
@@ -435,6 +517,15 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
         f_pos = pos[rows] - win_start
         f_st = st[rows]
         f_flag = flag[rows]
+        if not interpret:
+            part = _fused_fast_dispatch(cfg, f_seq, f_qual, f_pos, f_st,
+                                        a_np, b_np, pair_simple, remap,
+                                        ref_window, win_offset - win_start,
+                                        W_fixed)
+            if part is None:
+                return None  # coverage skew: caller falls back
+            counters += part[:W]
+            return counters
         seq_a, qual_a, aligned, parity = pk.prealign_reads(f_seq, f_qual,
                                                            f_pos, f_st)
         # arbitration on the simple pairs (adjacent-mate packing)
@@ -467,11 +558,7 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
                 out[:P] = x
                 return out
 
-            na, nb = ak.arbitrate_pallas(
-                jnp.asarray(padP(sa)), jnp.asarray(padP(qa)),
-                jnp.asarray(padP(sb)), jnp.asarray(padP(qb)),
-                PB=PB, LP2=LP2, max_shift=2,
-            ) if not interpret else _arbitrate_pallas_interpret(
+            na, nb = _arbitrate_pallas_interpret(
                 padP(sa), padP(qa), padP(sb), padP(qb), LP2, 2)
             na = np.asarray(na)[:P]
             nb = np.asarray(nb)[:P]
@@ -488,6 +575,124 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
             return None  # coverage skew: caller falls back
         counters += part[:W]
     return counters
+
+
+def _fused_fast_dispatch(cfg, f_seq, f_qual, f_pos, f_st, a_np, b_np,
+                         pair_simple, remap, ref_window, woff_rel, W_fixed,
+                         max_gmax=4096):
+    """Host choreography for _fused_fast_window: sort rows by aligned start,
+    remap pair indices, compute the pileup group tables, bucket shapes
+    (powers of two, so repeated windows reuse the compiled program), pad,
+    and make the single device call. Returns uint32 [W_fixed, 4] or None on
+    coverage skew (caller falls back to the XLA scatter path)."""
+    n = len(f_seq)
+    L = f_seq.shape[1]
+    LP = _round_up(max(L, 128), 128)
+    LP2 = _round_up(L + 127, 128)
+    T = 512
+    HALO_L = LP + 128
+    wpad = _round_up(W_fixed, T)
+    ntiles = wpad // T
+    K = (T + LP) // 128
+
+    aligned = f_pos - (f_pos % 128)
+    order = np.argsort(aligned, kind="stable")
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    f_seq = f_seq[order]
+    f_qual = f_qual[order]
+    f_pos = np.asarray(f_pos)[order]
+    f_st = f_st[order]
+    al_s = aligned[order]
+
+    # Pileup offset-group table (same geometry as pileup_pallas)
+    bounds = (np.arange(ntiles)[:, None] * T - LP
+              + 128 * np.arange(K + 1)[None, :])
+    flat = np.searchsorted(al_s, bounds.reshape(-1), side="left")
+    flat = flat.reshape(ntiles, K + 1)
+    srtk = flat[:, :K].astype(np.int32).reshape(-1)
+    cntk = np.diff(flat, axis=1).astype(np.int32).reshape(-1)
+    gmax = int(cntk.max()) if len(cntk) else 0
+    GMAX = 64
+    while GMAX < gmax + 32:
+        GMAX *= 2
+    if GMAX > max_gmax:
+        return None
+
+    Nb = 256
+    while Nb < n + GMAX:
+        Nb *= 2
+    seq_p = np.zeros((Nb, L), np.uint8)
+    qual_p = np.zeros((Nb, L), np.uint8)
+    pos_p = np.zeros(Nb, np.int32)
+    parity_p = np.zeros(Nb, np.uint8)
+    seq_p[:n] = f_seq
+    qual_p[:n] = f_qual
+    pos_p[:n] = f_pos
+    parity_p[:n] = (f_st & 1).astype(np.uint8)
+
+    # Pairs in the sorted row frame, mate a = smaller aligned start; pads
+    # are ineligible (code 3) and point at the final zero row.
+    sp = np.asarray(pair_simple, bool)
+    pa_f = inv[remap[a_np[sp]]] if sp.any() else np.zeros(0, np.int64)
+    pb_f = inv[remap[b_np[sp]]] if sp.any() else np.zeros(0, np.int64)
+    swap = al_s[pa_f] > al_s[pb_f]
+    pa2 = np.where(swap, pb_f, pa_f)
+    pb2 = np.where(swap, pa_f, pb_f)
+    sh = (al_s[pb2] - al_s[pa2]) // 128
+    elig = (((f_st[pa2] - f_st[pb2]) & 1) == 0) & (sh >= 0) & (sh <= 2)
+    code = np.where(elig, sh, 3).astype(np.uint8)
+    PB = 256
+    P = len(pa2)
+    P_pad = PB
+    while P_pad < P:
+        P_pad *= 2
+    pa_p = np.full(P_pad, Nb - 1, np.int32)
+    pb_p = np.full(P_pad, Nb - 1, np.int32)
+    code_p = np.full(P_pad, 3, np.uint8)
+    pa_p[:P] = pa2
+    pb_p[:P] = pb2
+    code_p[:P] = code
+
+    ref_static = wpad + 256
+    ref_p = np.zeros(ref_static, np.uint8)
+    seqlen = min(len(ref_window), ref_static)
+    ref_p[:seqlen] = np.asarray(ref_window[:seqlen], np.uint8)
+
+    # Context candidates: window coords whose reference base is C or G (the
+    # only coords the emit path can read; everything else stays zero).
+    shift = -int(woff_rel)  # ref idx = window coord + (win_start - offset)
+    wcoords = np.arange(wpad, dtype=np.int64)
+    ridx = wcoords + shift
+    inref = (ridx >= 0) & (ridx < seqlen)
+    rb = np.where(inref, ref_p[np.clip(ridx, 0, ref_static - 1)], 0)
+    cand = wcoords[(rb == REF_C) | (rb == REF_G)].astype(np.int32)
+    nc = len(cand)
+    nc_pad = 512
+    while nc_pad < nc:
+        nc_pad *= 2
+    cand_p = np.zeros(nc_pad, np.int32)
+    cand_p[:nc] = cand
+    NCH = 4 if cfg.minOppositeDepth > 0 else 2
+
+    common = (
+        jnp.asarray(seq_p), jnp.asarray(qual_p), jnp.asarray(pos_p),
+        jnp.asarray(parity_p), jnp.asarray(pa_p), jnp.asarray(pb_p),
+        jnp.asarray(code_p), jnp.asarray(srtk), jnp.asarray(cntk),
+        jnp.asarray(ref_p), jnp.int32(woff_rel),
+    )
+    statics = dict(L=L, LP2=LP2, PB=PB, max_shift=2, ntiles=ntiles, T=T,
+                   HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX,
+                   min_phred=cfg.minPhred, W=wpad)
+    sel, overflow = _fused_fast_window_packed(
+        *common, jnp.asarray(cand_p), NCH=NCH, **statics)
+    sel = np.asarray(jax.device_get(sel))
+    counters = np.zeros((wpad, 4), np.uint32)
+    if bool(overflow):  # depth > 65535 somewhere: refetch wide (rare)
+        out = _fused_fast_window(*common, **statics)
+        return np.ascontiguousarray(np.asarray(jax.device_get(out)).T[:W_fixed])
+    counters[cand, :NCH] = sel[:, :nc].T
+    return counters[:W_fixed]
 
 
 def _arbitrate_pallas_interpret(sa, qa, sb, qb, LP2, max_shift):

@@ -123,3 +123,67 @@ def test_arbitrate_pallas_prep_matches_host():
     rows = np.arange(batch.n)[:, None]
     cols = pad[:, None] + np.arange(L)[None, :]
     np.testing.assert_array_equal(new_q[rows, cols], hq)
+
+
+def test_arbitrate_pad_does_not_zero_N():
+    """An N base (qual > 0) in the non-overlapping tail of one mate must
+    keep its qual: the C only rewrites SHARED positions (overlaps.c walks
+    the common span); before the `has` mask, the pad byte (base 0) facing
+    it hit the zero_d rule."""
+    import jax.numpy as jnp
+    from methyldackel_tpu.ops.pileup_pallas import prealign_reads
+    from methyldackel_tpu.ops import arbitrate_pallas as ak
+
+    L = 12
+    N = 2
+    seq = np.zeros((N, L), np.uint8)
+    qual = np.zeros((N, L), np.uint8)
+    refpos = np.full((N, L), -2, np.int64)
+    # mate a: 12 bases at pos 0, with an N (code 15) at col 10, qual 30
+    seq[0] = [2, 8, 2, 8, 2, 8, 2, 8, 2, 8, 15, 2]
+    qual[0] = 20
+    qual[0, 10] = 30
+    refpos[0] = np.arange(L)
+    # mate b: 8 bases at pos 0 (cols 8-11 of a uncovered)
+    seq[1, :8] = [2, 8, 2, 8, 2, 8, 2, 8]
+    qual[1, :8] = 25
+    refpos[1, :8] = np.arange(8)
+    st = np.array([1, 1], np.int64)
+    flag = np.array([0x63, 0x93], np.uint16)
+    pos = np.array([0, 0], np.int64)
+
+    hq = qual.copy()
+    sem.arbitrate_overlaps(seq, hq, refpos, st, np.array([0]), np.array([1]))
+    assert hq[0, 10] == 30  # host oracle: untouched
+
+    seq_a, qual_a, aligned, parity = prealign_reads(seq, qual, pos, st)
+    sa, qa, sb, qb, P = ak.prepare_pairs(seq_a, qual_a, aligned, st, flag,
+                                         max_shift=2)
+
+    class FakeRef:
+        def __init__(self, v=None):
+            self.v = jnp.asarray(v) if v is not None else None
+
+        def __getitem__(self, k):
+            return self.v
+
+        def __setitem__(self, k, val):
+            self.v = val
+
+    oa, ob = FakeRef(), FakeRef()
+    ak._arb_kernel(FakeRef(sa), FakeRef(qa), FakeRef(sb), FakeRef(qb), oa, ob,
+                   LP2=seq_a.shape[1], max_shift=2)
+    new_q = np.empty_like(qual_a)
+    new_q[0::2] = np.asarray(oa.v)
+    new_q[1::2] = np.asarray(ob.v)
+    cols = np.arange(L)[None, :]
+    np.testing.assert_array_equal(
+        new_q[np.arange(2)[:, None], cols], hq,
+    )
+
+    # XLA prealigned variant (adjacent-mate layout) must agree too
+    from methyldackel_tpu.parallel.device import arbitrate_prealigned
+    out = np.asarray(arbitrate_prealigned(
+        jnp.asarray(seq_a), jnp.asarray(qual_a), jnp.asarray(aligned),
+        jnp.asarray(st), jnp.asarray(flag), 2))
+    np.testing.assert_array_equal(out[np.arange(2)[:, None], cols], hq)

@@ -244,3 +244,38 @@ def test_pileup_channels_vs_column_oracle():
                 if base != expected and base != 15:
                     want[p, 3] += 1
     np.testing.assert_array_equal(got, want)
+
+
+def test_arbitrate_dense_matches_loop():
+    """The vectorized gapless-pair arbitration must equal the per-pair
+    intersect loop (itself oracle-tested vs the literal C) bit-for-bit,
+    including role asymmetry, partial/zero overlap, containment, and
+    incompatible-strand skips."""
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        n_pairs = 40
+        L = 24
+        N = 2 * n_pairs
+        lq = rng.integers(8, L + 1, N)
+        start = rng.integers(0, 40, N)
+        # force varied overlap: b starts near a
+        start[1::2] = start[0::2] + rng.integers(-12, 13, n_pairs)
+        start = np.maximum(start, 0)
+        refpos = np.full((N, L), -2, np.int64)
+        seq = np.zeros((N, L), np.uint8)
+        qual = np.zeros((N, L), np.uint8)
+        col = np.arange(L)
+        for i in range(N):
+            m = int(lq[i])
+            refpos[i, :m] = start[i] + col[:m]
+            seq[i, :m] = rng.choice([1, 2, 4, 8, 15], m, p=[.24, .24, .24, .24, .04])
+            qual[i, :m] = rng.integers(0, 42, m)
+        strand_arr = rng.integers(1, 5, N).astype(np.int64)
+        a_idx = np.arange(0, N, 2)
+        b_idx = a_idx + 1
+
+        q_fast = qual.copy()
+        sem.arbitrate_overlaps(seq, q_fast, refpos, strand_arr, a_idx, b_idx)
+        q_loop = qual.copy()
+        sem._arbitrate_pairs_loop(seq, q_loop, refpos, strand_arr, a_idx, b_idx)
+        assert np.array_equal(q_fast, q_loop), f"trial {trial}"

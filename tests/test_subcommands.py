@@ -94,3 +94,41 @@ def test_perread_thread_invariance(fixture_dir):
              "cg_aln.bam", "-q", "2"], fixture_dir)
     assert r1.returncode == 0 and r2.returncode == 0
     assert r1.stdout == r2.stdout and r1.stdout.strip()
+
+
+def test_perread_vectorized_matches_walker():
+    """process_reads_gapless must reproduce the scalar processRead state
+    machine exactly — including the low-qual quirk (perRead.c:59-63): a
+    failing base advances the cursor and the NEXT base is evaluated without
+    a quality re-check. Random quals around the threshold exercise chains
+    of consecutive low-qual bases."""
+    import numpy as np
+    from methyldackel_tpu.engine.perread import process_read, process_reads_gapless
+    from methyldackel_tpu.config import Config
+
+    rng = np.random.default_rng(99)
+    cfg = Config()
+    cfg.minPhred = 20
+    glen = 600
+    ref_window = rng.choice(np.frombuffer(b"ACGT", np.uint8), glen)
+    L = 30
+    N = 300
+    lq = rng.integers(5, L + 1, N)
+    pos = rng.integers(0, glen - L - 2, N)
+    seq = np.zeros((N, L), np.uint8)
+    qual = np.zeros((N, L), np.uint8)
+    for i in range(N):
+        m = int(lq[i])
+        seq[i, :m] = rng.choice([1, 2, 4, 8, 15], m)
+        # cluster quals around the threshold so skip chains occur
+        qual[i, :m] = rng.integers(17, 24, m)
+    strand = rng.integers(1, 5, N)
+
+    nm_v, nu_v = process_reads_gapless(cfg, seq, qual, pos, lq, strand,
+                                       ref_window, 0, glen)
+    for i in range(N):
+        m = int(lq[i])
+        cigar = np.array([(m << 4) | 0], np.uint32)
+        nm, nu = process_read(cfg, seq[i, :m], qual[i, :m], cigar,
+                              int(pos[i]), int(strand[i]), ref_window, 0, glen)
+        assert (nm, nu) == (int(nm_v[i]), int(nu_v[i])), i
