@@ -69,7 +69,7 @@ void decode_range(const uint8_t* d, const std::vector<int64_t>& recs,
                   uint16_t* flag, int32_t* tid, int64_t* pos, uint8_t* mapq,
                   int32_t* l_qseq, int64_t* endpos, int32_t* mtid,
                   int64_t* mpos, int8_t* xg, int32_t* nh,
-                  uint8_t* seq_flat, uint8_t* qual_flat, int64_t* refpos_flat,
+                  uint8_t* seq_flat, uint8_t* qual_flat, int32_t* refpos_flat,
                   uint32_t* cigar_flat, char* qname_blob) {
   for (int64_t i = lo; i < hi; ++i) {
     const uint8_t* rec = d + recs[i];
@@ -113,7 +113,7 @@ void decode_range(const uint8_t* d, const std::vector<int64_t>& recs,
     q += l_seq;
 
     // CIGAR-expanded refpos + endpos
-    int64_t* rp = refpos_flat + base_off[i];
+    int32_t* rp = refpos_flat + base_off[i];
     int64_t cur = p0;
     int64_t ref_len = 0;
     int64_t k = 0;
@@ -123,7 +123,7 @@ void decode_range(const uint8_t* d, const std::vector<int64_t>& recs,
       uint32_t n = w >> 4;
       uint8_t t = kCigType[op];
       if (t == 3) {  // M/=/X
-        for (uint32_t j = 0; j < n && k < l_seq; ++j) rp[k++] = cur + j;
+        for (uint32_t j = 0; j < n && k < l_seq; ++j) rp[k++] = (int32_t)(cur + j);
         cur += n;
         ref_len += n;
       } else if (t == 1) {  // I/S
@@ -223,7 +223,7 @@ int mdtpu_bam_decode(const char* data, int64_t len, int64_t start, int nthreads,
                      int64_t* base_off, int64_t* cig_off, int64_t* qn_off,
                      int64_t* rec_off,
                      uint8_t* seq_flat, uint8_t* qual_flat,
-                     int64_t* refpos_flat, uint32_t* cigar_flat,
+                     int32_t* refpos_flat, uint32_t* cigar_flat,
                      char* qname_blob) {
   const uint8_t* d = reinterpret_cast<const uint8_t*>(data);
   RecSizes sz;

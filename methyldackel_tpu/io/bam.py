@@ -66,7 +66,7 @@ class ReadBatch:
     nh: np.ndarray         # [N] int32: -1 absent
     seq: np.ndarray        # [N, L] uint8 4-bit codes, 0 beyond l_qseq
     qual: np.ndarray       # [N, L] uint8, 0 beyond l_qseq
-    refpos: np.ndarray     # [N, L] int64, -1 for I/S bases, -2 beyond l_qseq
+    refpos: np.ndarray     # [N, L] int32, -1 for I/S bases, -2 beyond l_qseq
 
     @property
     def n(self) -> int:
@@ -132,7 +132,7 @@ class AlignmentSoA:
         else:
             seq = np.zeros((nreads, L), dtype=np.uint8)
             qual = np.zeros((nreads, L), dtype=np.uint8)
-            refpos = np.full((nreads, L), -2, dtype=np.int64)
+            refpos = np.full((nreads, L), -2, dtype=np.int32)
         return ReadBatch(
             qname=[self.qname[i] for i in idx],
             flag=self.flag[idx],
@@ -294,7 +294,7 @@ class BamFile(AlignmentSoA):
         self.seq_flat = np.concatenate(seq_parts) if seq_parts else np.zeros(0, np.uint8)
         self.qual_flat = np.concatenate(qual_parts) if qual_parts else np.zeros(0, np.uint8)
         self.refpos_flat = (
-            np.concatenate(refpos_parts) if refpos_parts else np.zeros(0, np.int64)
+            np.concatenate(refpos_parts) if refpos_parts else np.zeros(0, np.int32)
         )
         self.cigar_offsets = np.asarray(cigar_offsets, dtype=np.int64)
         self.cigar_flat = (
@@ -337,7 +337,7 @@ def _expand_cigar(cigar: np.ndarray, pos: int, l_seq: int):
     nothing.
     """
     if len(cigar) == 0:
-        return np.full(l_seq, -1, dtype=np.int64), pos + 1
+        return np.full(l_seq, -1, dtype=np.int32), pos + 1
     ops = (cigar & 0xF).astype(np.int64)
     lens = (cigar >> 4).astype(np.int64)
     ref_len = int(lens[_CIGAR_CONSUME_REF[ops]].sum())
@@ -348,10 +348,10 @@ def _expand_cigar(cigar: np.ndarray, pos: int, l_seq: int):
     refpos_stream = pos + np.cumsum(ref_consume) - ref_consume
     aligned = _CIGAR_IS_ALIGNED[op_per_step]
     per_step_refpos = np.where(aligned, refpos_stream, -1)
-    refpos = per_step_refpos[read_consume].astype(np.int64)
+    refpos = per_step_refpos[read_consume].astype(np.int32)
     if len(refpos) != l_seq:
         # Malformed CIGAR/SEQ combination; pad conservatively with -1.
-        out = np.full(l_seq, -1, dtype=np.int64)
+        out = np.full(l_seq, -1, dtype=np.int32)
         out[: min(l_seq, len(refpos))] = refpos[:l_seq]
         refpos = out
     return refpos, endpos

@@ -924,7 +924,7 @@ class CramFile(AlignmentSoA):
         self.qual_flat = (np.concatenate(qual_parts) if qual_parts
                           else np.zeros(0, np.uint8))
         self.refpos_flat = (np.concatenate(refpos_parts) if refpos_parts
-                            else np.zeros(0, np.int64))
+                            else np.zeros(0, np.int32))
         self.cigar_flat = (np.concatenate(cigar_parts) if cigar_parts
                            else np.zeros(0, np.uint32))
         self.cigar_offsets = np.asarray(cigar_offsets, dtype=np.int64)

@@ -104,7 +104,7 @@ def bam_decode(data: bytes, start: int):
         "record_offsets": np.empty(N + 1, np.int64),
         "seq_flat": np.empty(B, np.uint8),
         "qual_flat": np.empty(B, np.uint8),
-        "refpos_flat": np.empty(B, np.int64),
+        "refpos_flat": np.empty(B, np.int32),
         "cigar_flat": np.empty(C, np.uint32),
         "qname_blob": np.empty(Q, np.uint8),
     }
