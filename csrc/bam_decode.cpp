@@ -264,4 +264,57 @@ int mdtpu_bam_decode(const char* data, int64_t len, int64_t start, int nthreads,
   return 0;
 }
 
+// Ragged SoA -> padded [N, L] batch (the per-window materialization the
+// engine runs for every genome window). Three row memcpys beat the numpy
+// [N, L] index-arithmetic gather by ~30x.
+static void pad_range(int64_t lo, int64_t hi, const int64_t* offsets,
+                      const int64_t* idx, int64_t L,
+                      const uint8_t* seq_flat, const uint8_t* qual_flat,
+                      const int32_t* refpos_flat, uint8_t* seq_out,
+                      uint8_t* qual_out, int32_t* refpos_out) {
+  for (int64_t r = lo; r < hi; ++r) {
+    int64_t i = idx[r];
+    int64_t o0 = offsets[i];
+    int64_t m = offsets[i + 1] - o0;
+    if (m > L) m = L;
+    uint8_t* so = seq_out + r * L;
+    uint8_t* qo = qual_out + r * L;
+    int32_t* ro = refpos_out + r * L;
+    std::memcpy(so, seq_flat + o0, m);
+    std::memcpy(qo, qual_flat + o0, m);
+    std::memcpy(ro, refpos_flat + o0, m * sizeof(int32_t));
+    if (m < L) {
+      std::memset(so + m, 0, L - m);
+      std::memset(qo + m, 0, L - m);
+      for (int64_t j = m; j < L; ++j) ro[j] = -2;
+    }
+  }
+}
+
+int mdtpu_pad_batch(const int64_t* offsets, const int64_t* idx, int64_t n,
+                    int64_t L, const uint8_t* seq_flat,
+                    const uint8_t* qual_flat, const int32_t* refpos_flat,
+                    uint8_t* seq_out, uint8_t* qual_out, int32_t* refpos_out,
+                    int nthreads) {
+  if (n <= 0 || L <= 0) return 0;
+  if (nthreads < 1) nthreads = 1;
+  size_t workers = std::min<size_t>(nthreads, (size_t)n);
+  if (workers <= 1 || n < 8192) {
+    pad_range(0, n, offsets, idx, L, seq_flat, qual_flat, refpos_flat,
+              seq_out, qual_out, refpos_out);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t per = (n + workers - 1) / workers;
+    for (size_t w = 0; w < workers; ++w) {
+      int64_t lo = w * per;
+      int64_t hi = std::min<int64_t>(lo + per, n);
+      if (lo >= hi) break;
+      ts.emplace_back(pad_range, lo, hi, offsets, idx, L, seq_flat,
+                      qual_flat, refpos_flat, seq_out, qual_out, refpos_out);
+    }
+    for (auto& t : ts) t.join();
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -120,7 +120,15 @@ class AlignmentSoA:
         nreads = len(idx)
         lq = self.l_qseq[idx] if nreads else np.zeros(0, np.int32)
         L = int(width) if width is not None else (int(lq.max()) if nreads else 0)
+        nat = None
         if nreads and L and self.seq_flat.size:
+            from . import native
+
+            nat = native.pad_batch(self.offsets, idx, self.seq_flat,
+                                   self.qual_flat, self.refpos_flat, L)
+        if nat is not None:
+            seq, qual, refpos = nat
+        elif nreads and L and self.seq_flat.size:
             starts = self.offsets[idx].astype(np.int64)
             lens = (self.offsets[idx + 1] - self.offsets[idx]).astype(np.int64)
             cols = np.arange(L, dtype=np.int64)

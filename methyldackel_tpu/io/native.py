@@ -48,6 +48,12 @@ def _load():
                                          ctypes.c_int64, ctypes.c_int] + [
             ctypes.c_void_p
         ] * 19
+        lib.mdtpu_pad_batch.restype = ctypes.c_int
+        lib.mdtpu_pad_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
         _LIB = lib
     except (OSError, AttributeError):
         _LIB = None
@@ -125,3 +131,29 @@ def bam_decode(data: bytes, start: int):
     if rc != 0:
         return None
     return out
+
+
+def pad_batch(offsets, idx, seq_flat, qual_flat, refpos_flat, L):
+    """Ragged→padded [N, L] batch via the native row-memcpy kernel, or None
+    if the library isn't built. Arrays must be contiguous with the decoder's
+    dtypes (offsets/idx int64, seq/qual uint8, refpos int32)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, np.int64)
+    n = len(idx)
+    seq = np.empty((n, L), np.uint8)
+    qual = np.empty((n, L), np.uint8)
+    refpos = np.empty((n, L), np.int32)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.mdtpu_pad_batch(ptr(offsets), ptr(idx), n, L, ptr(seq_flat),
+                             ptr(qual_flat), ptr(refpos_flat), ptr(seq),
+                             ptr(qual), ptr(refpos), os.cpu_count() or 1)
+    if rc != 0:
+        return None
+    return seq, qual, refpos
