@@ -79,23 +79,97 @@ def _merge_or_print(out, last: _Last, chrom: str, start: int, width: int,
         last.nunmethyl = nunmethyl
 
 
+def _classify_chunk(fasta: FastaFile, chroms, starts):
+    """Vectorized getContext over a chunk of rows: interior positions
+    (pos > 2 and pos+2 < contig length — the fetch window is full 5-mer,
+    i == 2, end-pos == pos-start == 2) classify with four array compares
+    per same-chrom run; contig-edge rows and unknown chroms go through the
+    scalar get_context. Returns (typ[n] int8, width[n] int64)."""
+    import numpy as np
+
+    C, G = ord("C"), ord("G")
+    n = len(starts)
+    typs = np.empty(n, np.int8)
+    widths = np.zeros(n, np.int64)
+    i = 0
+    while i < n:
+        c = chroms[i]
+        j = i
+        while j < n and chroms[j] == c:
+            j += 1
+        ln = fasta.seq_len(c)
+        if ln < 0:
+            typs[i:j] = 3
+        else:
+            R = fasta._full(c)
+            p = starts[i:j]
+            t = np.full(j - i, 2, np.int8)
+            w = np.zeros(j - i, np.int64)
+            interior = (p > 2) & (p + 2 < ln)
+            pi = p[interior]
+            base = R[pi]
+            isc = base == C
+            cpg_c = isc & (R[pi + 1] == G)
+            chg_c = isc & ~cpg_c & (R[pi + 2] == G)
+            cpg_g = ~isc & (R[pi - 1] == C)
+            chg_g = ~isc & ~cpg_g & (R[pi - 2] == C)
+            ti = np.full(len(pi), 2, np.int8)
+            wi = np.zeros(len(pi), np.int64)
+            ti[cpg_c] = 0
+            wi[cpg_c] = 2
+            ti[chg_c] = 1
+            wi[chg_c] = 3
+            ti[cpg_g] = 0
+            wi[cpg_g] = -2
+            ti[chg_g] = 1
+            wi[chg_g] = -3
+            t[interior] = ti
+            w[interior] = wi
+            for k in np.nonzero(~interior)[0]:
+                t[k], w[k] = get_context(fasta, c, int(p[k]))
+            typs[i:j] = t
+            widths[i:j] = w
+        i = j
+    return typs, widths
+
+
 def merge_context(infile, fasta: FastaFile, out) -> None:
-    """mergeContext (mergeContext.c:97-158)."""
+    """mergeContext (mergeContext.c:97-158), classification vectorized in
+    200k-row chunks; the sequential pairing state machine is unchanged."""
+    import numpy as np
+    from itertools import islice
+
     last_cpg = _Last()
     last_chg = _Last()
-    for line in infile:
-        line = line.rstrip("\n")
-        if not line:
+    CHUNK = 200_000
+    while True:
+        lines = list(islice(infile, CHUNK))
+        if not lines:
+            break
+        rows = []
+        for line in lines:
+            line = line.rstrip("\n")
+            if not line or line.startswith("track"):
+                continue
+            f = line.split("\t")
+            rows.append((f[0], int(f[1]), int(f[2]), int(f[4]), int(f[5])))
+        if not rows:
             continue
-        if line.startswith("track"):
-            continue
-        f = line.split("\t")
-        chrom = f[0]
-        start = int(f[1])
-        end = int(f[2])
-        nmethyl = int(f[4])
-        nunmethyl = int(f[5])
-        typ, width = get_context(fasta, chrom, start)
+        chroms = [r[0] for r in rows]
+        starts = np.fromiter((r[1] for r in rows), np.int64, len(rows))
+        typs, widths = _classify_chunk(fasta, chroms, starts)
+        if _emit_rows(out, rows, typs, widths, last_cpg, last_chg):
+            break  # unknown chromosome: the C breaks, then still flushes
+    for last in (last_cpg, last_chg):
+        if last.chrom is not None:
+            out.write(formats.merge_context_record(last.chrom, last.start, last.end,
+                                                   last.nmethyl, last.nunmethyl))
+
+
+def _emit_rows(out, rows, typs, widths, last_cpg, last_chg) -> bool:
+    for (chrom, start, end, nmethyl, nunmethyl), typ, width in zip(rows, typs, widths):
+        typ = int(typ)
+        width = int(width)
         if typ == 0:
             _merge_or_print(out, last_cpg, chrom, start, width, nmethyl, nunmethyl)
         elif typ == 1:
@@ -104,11 +178,8 @@ def merge_context(infile, fasta: FastaFile, out) -> None:
             out.write(formats.merge_context_record(chrom, start, end, nmethyl, nunmethyl))
         else:
             sys.stderr.write(f"[mergeContext] Error, {chrom} is an unknown chromosome name!\n")
-            break
-    for last in (last_cpg, last_chg):
-        if last.chrom is not None:
-            out.write(formats.merge_context_record(last.chrom, last.start, last.end,
-                                                   last.nmethyl, last.nunmethyl))
+            return True
+    return False
 
 
 def merge_context_usage():

@@ -535,5 +535,7 @@ def mbias_counters(seq, qual, refpos, strand_arr, flag, keep_base, ref_window,
     s_idx = np.broadcast_to((strand_arr - 1)[:, None], seq.shape)[use]
     r_idx = np.broadcast_to(((flag & 0x80) != 0)[:, None], seq.shape)[use].astype(np.int64)
     m_idx = (state[use] < 0).astype(np.int64)  # 0 = meth, 1 = unmeth
-    np.add.at(counters, (s_idx, r_idx, m_idx, qpos), 1)
+    flat = ((s_idx * 2 + r_idx) * 2 + m_idx) * max_len + qpos
+    counters += np.bincount(flat, minlength=16 * max_len).reshape(
+        4, 2, 2, max_len).astype(np.uint32)
     return counters
