@@ -459,8 +459,9 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
             return None
 
         with STATS.timer("window_prepare"):
-            idx = bam.overlapping(tid, lpos, lend)
-            batch = bam.batch(idx)
+            view = bam.window_soa(tid, lpos, lend)
+            idx = view.overlapping(tid, lpos, lend)
+            batch = view.batch(idx)
             strand_arr = sem.strand(batch.flag, batch.xg)
             keep = prepare_window_reads(cfg, bam, batch, strand_arr, tid,
                                         bed_state, ref_window, lpos2)

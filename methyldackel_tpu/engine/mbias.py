@@ -31,9 +31,18 @@ def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
     are associative uint64 adds, so the merge is order-free — the TPU-shaped
     form of the reference's per-thread strandMeth merge (MBias.c:541-552)."""
     hdr = bam.header
-    max_len = int(bam.l_qseq.max()) if bam.n_reads else 0
-    counters = np.zeros((4, 2, 2, max_len), dtype=np.uint64)
+    # Counters grow to the longest read cycle seen, window by window — the
+    # reference's growStrandMeth (MBias.c:16-40); nothing needs a whole-file
+    # scan, so streaming inputs work too.
+    counters = np.zeros((4, 2, 2, 0), dtype=np.uint64)
     keep_ctx = (cfg.keepCpG, cfg.keepCHG, cfg.keepCHH)
+
+    def grown(base, L):
+        if L <= base.shape[3]:
+            return base
+        out = np.zeros(base.shape[:3] + (L,), dtype=base.dtype)
+        out[..., : base.shape[3]] = base
+        return out
 
     def process_window(tid, lpos, lend):
         name = hdr.names[tid]
@@ -57,8 +66,9 @@ def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
             )
             return StopIteration
 
-        idx = bam.overlapping(tid, lpos, lend)
-        batch = bam.batch(idx)
+        view = bam.window_soa(tid, lpos, lend)
+        idx = view.overlapping(tid, lpos, lend)
+        batch = view.batch(idx)
         strand_arr = sem.strand(batch.flag, batch.xg)
         keep = prepare_window_reads(cfg, bam, batch, strand_arr, tid, bed_state,
                                     ref_window, lpos)
@@ -82,9 +92,10 @@ def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
             odd = (st.astype(np.int64) & 1)[:, None] == 1
             keep_base &= (rs == 0) | ((rs == 1) & odd) | ((rs == 2) & ~odd)
 
+        wl = int(batch.l_qseq[kidx].max())
         return sem.mbias_counters(
             seq, qual, refpos, st, flag, keep_base, ref_window, lpos,
-            lpos, lend, keep_ctx, cfg.minPhred, max_len,
+            lpos, lend, keep_ctx, cfg.minPhred, wl,
         )
 
     win_iter = windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos, g_end)
@@ -95,7 +106,8 @@ def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
             if delta is StopIteration:
                 return counters
             if delta is not None:
-                counters += delta
+                counters = grown(counters, delta.shape[3])
+                counters[..., : delta.shape[3]] += delta
         return counters
     from concurrent.futures import ThreadPoolExecutor
     from collections import deque
@@ -113,7 +125,8 @@ def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
 
         def counters_acc(delta):
             nonlocal counters
-            counters += delta
+            counters = grown(counters, delta.shape[3])
+            counters[..., : delta.shape[3]] += delta
 
         for w in win_iter:
             while len(inflight) >= 2 * n_threads:

@@ -190,40 +190,41 @@ def run_perread(cfg, out) -> None:
             return None
         seq_len = len(ref_window)
 
-        mask = (bam.tid == tid) & (bam.pos >= lpos) & (bam.pos < lend)
+        view = bam.window_soa(tid, lpos, lend)
+        mask = (view.tid == tid) & (view.pos >= lpos) & (view.pos < lend)
         idx = np.nonzero(mask)[0]
-        idx = idx[np.argsort(bam.pos[idx], kind="stable")]
+        idx = idx[np.argsort(view.pos[idx], kind="stable")]
         # Flag/MAPQ gates, vectorized (perRead.c:188-195: inline, not
         # filter_func — note requireFlags/ignoreFlags semantics match).
-        flags = bam.flag[idx].astype(np.int64)
+        flags = view.flag[idx].astype(np.int64)
         keep = np.ones(len(idx), bool)
         if cfg.requireFlags:
             keep &= (flags & cfg.requireFlags) == cfg.requireFlags
         if cfg.ignoreFlags:
             keep &= (flags & cfg.ignoreFlags) == 0
-        keep &= bam.mapq[idx] >= cfg.minMapq
+        keep &= view.mapq[idx] >= cfg.minMapq
         idx = idx[keep]
         if not len(idx):
             return []
-        strands = sem.strand(bam.flag[idx], bam.xg[idx])
+        strands = sem.strand(view.flag[idx], view.xg[idx])
         # Indel-free reads take the vectorized chain walker; the rest run
         # the exact scalar state machine.
-        hard = _has_indel_clip(bam, idx)
+        hard = _has_indel_clip(view, idx)
         nm = np.zeros(len(idx), np.int64)
         nu = np.zeros(len(idx), np.int64)
         if (~hard).any():
             sub = np.nonzero(~hard)[0]
-            batch = bam.batch(idx[sub])
+            batch = view.batch(idx[sub])
             nm[sub], nu[sub] = process_reads_gapless(
                 cfg, batch.seq, batch.qual, batch.pos, batch.l_qseq,
                 strands[sub], ref_window, lpos2, seq_len)
         for k in np.nonzero(hard)[0]:
             i = idx[k]
-            seq_codes, quals, _ = bam.read_arrays(i)
-            nm[k], nu[k] = process_read(cfg, seq_codes, quals, bam.cigar(i),
-                                        int(bam.pos[i]), int(strands[k]),
+            seq_codes, quals, _ = view.read_arrays(i)
+            nm[k], nu[k] = process_read(cfg, seq_codes, quals, view.cigar(i),
+                                        int(view.pos[i]), int(strands[k]),
                                         ref_window, lpos2, seq_len)
-        return [add_read(bam.qname[i], name, int(bam.pos[i]),
+        return [add_read(view.qname[i], name, int(view.pos[i]),
                          int(nm[k]), int(nu[k]))
                 for k, i in enumerate(idx)]
 

@@ -159,6 +159,12 @@ class AlignmentSoA:
         )
 
 
+    def window_soa(self, tid: int, start: int, end: int):
+        """Per-window record view. In-memory files serve every window from
+        the whole-file SoA; StreamingBamFile returns a freshly decoded
+        SegmentSoA covering exactly the reads that can touch the window."""
+        return self
+
     def cigar(self, i: int) -> np.ndarray:
         """Raw CIGAR ops for read i (uint32 op-words, htslib encoding)."""
         return self.cigar_flat[self.cigar_offsets[i] : self.cigar_offsets[i + 1]]
@@ -311,6 +317,104 @@ class BamFile(AlignmentSoA):
         self.record_offsets = np.asarray(rec_offsets + [n], dtype=np.int64)
 
         self._finalize_order()
+
+
+class SegmentSoA(BamFile):
+    """A decoded slice of a BAM's record stream (streaming mode's per-window
+    view). Reuses BamFile's decode/query machinery on an in-memory byte
+    range; never touches the filesystem."""
+
+    def __init__(self, header: BamHeader, data: bytes, p: int = 0):
+        self.path = None
+        self.header = header
+        self._decode_records(data, p)
+
+
+class StreamingBamFile:
+    """BAI-guided windowed BAM reader for inputs too large to decode whole.
+
+    The in-memory BamFile inflates and decodes the entire file up front —
+    fast for test-sized inputs, but a 100 GB production BAM would need
+    several hundred GB of RAM. This class scans only the BGZF block tables
+    (io/bgzf.BGZFBlockIndex), requires the .bai, and decodes per window:
+    window_soa(tid, start, end) seeks to the linear index's minimum virtual
+    offset (the reference's per-worker sam_itr_queryi, extract.c:379),
+    walks record headers until the first record starting at/after `end`
+    (coordinate-sorted input), and decodes exactly that byte range into a
+    SegmentSoA. Memory is O(reads overlapping one window).
+
+    Enabled by open_alignment for files over MDTPU_STREAM_THRESHOLD bytes
+    (default 4 GiB) with an index present, or always with MDTPU_STREAM=1.
+    """
+
+    streaming = True
+
+    def __init__(self, path: str):
+        from .bgzf import BGZFBlockIndex
+        from .bai import BaiFile
+        import os
+
+        self.path = path
+        self.blocks = BGZFBlockIndex(path)
+        head = self.blocks.read_flat_range(0, 1 << 16)
+        if head[:4] != b"BAM\x01":
+            raise ValueError(f"{path} is not a BAM file")
+        l_text = struct.unpack_from("<i", head, 4)[0]
+        need = 8 + l_text + (1 << 20)
+        if len(head) < min(need, self.blocks.usize):
+            head = self.blocks.read_flat_range(0, need)
+        text = head[8 : 8 + l_text].split(b"\x00", 1)[0].decode()
+        p = 8 + l_text
+        n_ref = struct.unpack_from("<i", head, p)[0]
+        p += 4
+        names, lengths = [], []
+        for _ in range(n_ref):
+            l_name = struct.unpack_from("<i", head, p)[0]
+            p += 4
+            names.append(head[p : p + l_name - 1].decode())
+            p += l_name
+            lengths.append(struct.unpack_from("<i", head, p)[0])
+            p += 4
+        self.header = BamHeader(text, names, lengths)
+        self._first_rec_flat = p
+        cands = [path + ".bai", path.rsplit(".", 1)[0] + ".bai"]
+        bai = next((c for c in cands if os.path.exists(c)), None)
+        if bai is None:
+            raise FileNotFoundError(
+                f"streaming mode needs an index next to {path} (.bai)"
+            )
+        self.bai = BaiFile(bai)
+
+    @property
+    def n_reads(self) -> int:
+        return 0  # unknown without a full pass; used only for stats
+
+    def window_soa(self, tid: int, start: int, end: int) -> SegmentSoA:
+        v = self.bai.min_voffset(tid, max(start, 0))
+        flat0 = (self.blocks.voffset_to_flat(v) if v else self._first_rec_flat)
+        CHUNK = 8 << 20
+        buf = b""
+        p = 0
+        cut = None
+        while cut is None:
+            nxt = self.blocks.read_flat_range(flat0 + len(buf),
+                                              flat0 + len(buf) + CHUNK)
+            if not nxt:
+                cut = p  # EOF: everything walked is complete records
+                break
+            buf += nxt
+            while p + 36 <= len(buf):
+                (bs,) = struct.unpack_from("<i", buf, p)
+                if p + 4 + bs > len(buf):
+                    break
+                refid, pos = struct.unpack_from("<ii", buf, p + 4)
+                if refid == -1 or refid > tid or (refid == tid and pos >= end):
+                    cut = p
+                    break
+                p += 4 + bs
+            # cut not found: the outer loop fetches more; the walk resumes at p
+        return SegmentSoA(self.header, buf[:cut], 0)
+
 
 class QnameView:
     """Lazy read-name accessor over the native decoder's blob (avoids

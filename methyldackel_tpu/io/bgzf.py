@@ -104,3 +104,100 @@ class BGZFReader:
             return self._coffset_to_uoffset[coffset] + within
         except KeyError:
             raise ValueError(f"virtual offset {voffset:#x} does not address a block start")
+
+
+class BGZFBlockIndex:
+    """Header-only BGZF scan + random-access inflation.
+
+    Unlike BGZFReader (which inflates the whole stream up front), this scans
+    only the 18-byte block headers and trailers in one buffered sequential
+    pass — O(file) IO, O(n_blocks) memory — and inflates just the blocks a
+    `read_flat_range` asks for. This is the streaming-mode substrate: a
+    100 GB BAM costs ~25 MB of block tables, not hundreds of GB of inflated
+    bytes (the in-memory BamFile's model, fine for small inputs)."""
+
+    CHUNK = 8 << 20
+
+    def __init__(self, path: str):
+        import numpy as np
+
+        self.path = path
+        coffs, isizes = [], []
+        with open(path, "rb") as fh:
+            buf = b""
+            base = 0  # file offset of buf[0]
+            off = 0   # absolute file offset of next block
+            while True:
+                # ensure the whole block [off, off+bsize) is in buf
+                if off - base + 18 > len(buf):
+                    buf = buf[off - base :]
+                    base = off
+                    more = fh.read(self.CHUNK)
+                    if not more and not buf:
+                        break
+                    buf += more
+                    if len(buf) < 18:
+                        if len(buf) == 0:
+                            break
+                        raise ValueError("truncated BGZF block header")
+                p = off - base
+                if buf[p : p + 2] != b"\x1f\x8b":
+                    raise ValueError(f"not a BGZF block at offset {off}")
+                xlen = struct.unpack_from("<H", buf, p + 10)[0]
+                # find BSIZE in the extra field
+                if p + 12 + xlen > len(buf):
+                    buf = buf[p:]
+                    base = off
+                    buf += fh.read(self.CHUNK)
+                    p = 0
+                extra = buf[p + 12 : p + 12 + xlen]
+                bsize = None
+                q = 0
+                while q + 4 <= len(extra):
+                    if extra[q] == 66 and extra[q + 1] == 67:
+                        bsize = struct.unpack_from("<H", extra, q + 4)[0] + 1
+                        break
+                    q += 4 + struct.unpack_from("<H", extra, q + 2)[0]
+                if bsize is None:
+                    raise ValueError("BGZF BC subfield missing")
+                while p + bsize > len(buf):
+                    buf = buf[p:]
+                    base = off
+                    p = 0
+                    more = fh.read(self.CHUNK)
+                    if not more:
+                        raise ValueError("truncated BGZF block")
+                    buf += more
+                isize = struct.unpack_from("<I", buf, p + bsize - 4)[0]
+                coffs.append(off)
+                isizes.append(isize)
+                off += bsize
+        self.coffsets = np.array(coffs + [off], dtype=np.int64)
+        self.uoffsets = np.zeros(len(isizes) + 1, dtype=np.int64)
+        np.cumsum(np.array(isizes, dtype=np.int64), out=self.uoffsets[1:])
+        self.usize = int(self.uoffsets[-1])
+
+    def voffset_to_flat(self, voffset: int) -> int:
+        import numpy as np
+
+        coffset = voffset >> 16
+        i = int(np.searchsorted(self.coffsets, coffset))
+        if i >= len(self.coffsets) or self.coffsets[i] != coffset:
+            raise ValueError(f"virtual offset {voffset:#x} does not address a block start")
+        return int(self.uoffsets[i]) + (voffset & 0xFFFF)
+
+    def read_flat_range(self, ustart: int, uend: int) -> bytes:
+        """Inflate and return flat bytes [ustart, uend) (clamped to EOF)."""
+        import numpy as np
+
+        uend = min(uend, self.usize)
+        if ustart >= uend:
+            return b""
+        lo = int(np.searchsorted(self.uoffsets, ustart, side="right")) - 1
+        hi = int(np.searchsorted(self.uoffsets, uend, side="left"))
+        with open(self.path, "rb") as fh:
+            fh.seek(int(self.coffsets[lo]))
+            raw = fh.read(int(self.coffsets[hi] - self.coffsets[lo]))
+        flat = bgzf_decompress(raw)
+        s = ustart - int(self.uoffsets[lo])
+        return flat[s : s + (uend - ustart)]

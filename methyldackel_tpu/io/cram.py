@@ -1359,11 +1359,31 @@ def _encode_features(sb: _SeriesBuf, cigar: np.ndarray, seq_ascii: np.ndarray,
 # ------------------------------------------------------------------ dispatch
 
 def open_alignment(path: str, fasta=None):
-    """Open a BAM or CRAM by magic bytes → AlignmentSoA."""
+    """Open a BAM or CRAM by magic bytes → AlignmentSoA (or the streaming
+    window reader for huge BAMs: decode-per-window keeps memory at
+    O(one window's reads) instead of O(whole file); needs the .bai)."""
+    import os
+
     with open(path, "rb") as fh:
         magic = fh.read(4)
     if magic == CRAM_MAGIC:
         return CramFile(path, fasta=fasta)
-    from .bam import BamFile
+    from .bam import BamFile, StreamingBamFile
 
+    force = os.environ.get("MDTPU_STREAM") == "1"
+    threshold = int(os.environ.get("MDTPU_STREAM_THRESHOLD", 4 << 30))
+    big = os.path.getsize(path) >= threshold
+    if force or big:
+        has_bai = any(os.path.exists(c)
+                      for c in (path + ".bai", path.rsplit(".", 1)[0] + ".bai"))
+        if has_bai:
+            return StreamingBamFile(path)
+        if force:
+            raise FileNotFoundError(
+                f"MDTPU_STREAM=1 needs an index next to {path} (.bai)")
+        import sys
+
+        sys.stderr.write(
+            f"[mdtpu] {path} is large but has no .bai; decoding in memory. "
+            "Index it to enable streaming mode.\n")
     return BamFile(path)

@@ -139,3 +139,19 @@ def test_missing_index_autobuild(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "will attempt to build it" in r.stderr
     assert (tmp_path / "noidx.bam.bai").exists()
+
+
+def test_bgzf_block_index_random_ranges():
+    """BGZFBlockIndex (header-only scan) must serve arbitrary flat ranges
+    identical to the full-inflate reader."""
+    from methyldackel_tpu.io.bgzf import BGZFReader, BGZFBlockIndex
+
+    path = f"{FIX}/cg_aln.bam"
+    full = BGZFReader(path).data
+    bi = BGZFBlockIndex(path)
+    assert bi.usize == len(full)
+    rng = np.random.default_rng(3)
+    for _ in range(40):
+        a = int(rng.integers(0, len(full)))
+        b = int(rng.integers(a, len(full) + 1))
+        assert bi.read_flat_range(a, b) == full[a:b]

@@ -139,3 +139,32 @@ def test_thread_count_invariance_bed(fixture_dir):
     a = open(fixture_dir / "bst_CpG.bedGraph").read().splitlines()[1:]
     b = open(fixture_dir / "bmt_CpG.bedGraph").read().splitlines()[1:]
     assert a == b and len(a) > 1
+
+
+def test_streaming_mode_invariance(fixture_dir):
+    """MDTPU_STREAM=1 (BAI-guided per-window decode) must produce the same
+    bytes as the in-memory decoder for extract, perRead and mbias."""
+    env2 = dict(ENV, MDTPU_STREAM="1")
+
+    def md_s(args, cwd):
+        import subprocess, sys as _sys
+        return subprocess.run([_sys.executable, "-m", "methyldackel_tpu.cli"] + args,
+                              cwd=cwd, env=env2, capture_output=True, text=True)
+
+    base = ["extract", "--chunkSize", "16", "cg100.fa", "cg_aln.bam", "-q", "2"]
+    md(base + ["-o", "mem"], fixture_dir)
+    r = md_s(base + ["-o", "strm"], fixture_dir)
+    assert r.returncode == 0, r.stderr
+    a = open(fixture_dir / "mem_CpG.bedGraph").read().splitlines()[1:]
+    b = open(fixture_dir / "strm_CpG.bedGraph").read().splitlines()[1:]
+    assert a == b and len(a) > 2
+
+    r1 = md(["perRead", "-q", "2", "cg100.fa", "cg_aln.bam"], fixture_dir)
+    r2 = md_s(["perRead", "-q", "2", "cg100.fa", "cg_aln.bam"], fixture_dir)
+    assert r1.stdout == r2.stdout and r1.stdout.strip()
+
+    m1 = md(["mbias", "--txt", "--noSVG", "cg100.fa", "cg_aln.bam", "-q", "2"],
+            fixture_dir)
+    m2 = md_s(["mbias", "--txt", "--noSVG", "cg100.fa", "cg_aln.bam", "-q", "2"],
+              fixture_dir)
+    assert m1.stdout == m2.stdout and m1.stdout.strip()
