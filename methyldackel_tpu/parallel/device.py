@@ -393,16 +393,39 @@ def _fused_fast_window(seq, qual, pos_rel, parity, pa, pb, code, srtk, cntk,
     return pk.counts_to_channels(tiles[:, :W], ref, woff_rel, W)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("L", "LP2", "PB", "max_shift", "ntiles", "T", "HALO_L",
-                     "LP", "K", "GMAX", "min_phred", "W", "NCH"),
-)
-def _fused_fast_window_packed(seq, qual, pos_rel, parity, pa, pb, code, srtk,
-                              cntk, ref, woff_rel, cand, *, L, LP2, PB,
-                              max_shift, ntiles, T, HALO_L, LP, K, GMAX,
-                              min_phred, W, NCH):
-    """_fused_fast_window with a compact return: the emit path only reads
+def _window_channels(seq, qual, pos_rel, parity, pa, pb, code, srtk, cntk,
+                     ref, woff_rel, hseq, hqual, hrefpos, hstrand, hkeep,
+                     hpa, hpb, hpv, *, L, LP2, PB, max_shift, ntiles, T,
+                     HALO_L, LP, K, GMAX, min_phred, W, OVW, HAS_HARD):
+    """Full window channels [4, W] uint32: the Pallas fast path for gapless
+    rows, plus (HAS_HARD) the exact XLA scatter path for indel/clipped rows
+    — dense per-pair arbitration then the scatter-add pileup — summed on
+    device. All shapes are bucketed by the host dispatch so real inputs
+    (where ~10-30% of reads carry indels) reuse one compiled program
+    instead of recompiling per window."""
+    full = _fused_fast_window(
+        seq, qual, pos_rel, parity, pa, pb, code, srtk, cntk, ref, woff_rel,
+        L=L, LP2=LP2, PB=PB, max_shift=max_shift, ntiles=ntiles, T=T,
+        HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, min_phred=min_phred, W=W,
+    )  # [4, W] uint32
+    if HAS_HARD:
+        hq2 = arbitrate_device(hseq, hqual, hrefpos, hstrand, hpa, hpb, hpv,
+                               OVW)
+        hc = pileup_device(hseq, hq2, hrefpos, hstrand, hkeep,
+                           jnp.ones(hseq.shape, bool), ref, woff_rel,
+                           jnp.int32(0), W, min_phred)  # [W, 4] uint32
+        full = full + hc.T
+    return full
+
+
+_PACKED_STATICS = ("L", "LP2", "PB", "max_shift", "ntiles", "T", "HALO_L",
+                   "LP", "K", "GMAX", "min_phred", "W", "OVW", "HAS_HARD",
+                   "NCH")
+
+
+@functools.partial(jax.jit, static_argnames=_PACKED_STATICS)
+def _fused_window_packed(*args, NCH, **statics):
+    """_window_channels with a compact return: the emit path only reads
     counters at context positions (ref base C or G — everything else is
     CTX_NONE and never emitted), and only channels [meth, unmeth] unless
     variant exclusion is on. The device gathers those NCH × |cand| values
@@ -411,14 +434,16 @@ def _fused_fast_window_packed(seq, qual, pos_rel, parity, pa, pb, code, srtk,
     readback (16 MB of [W, 4] uint32 per 1 Mb window) was the single
     largest cost of the warm window step. Overflow (per-base depth > 65535)
     flips the flag and the host refetches via the wide path."""
-    full = _fused_fast_window(
-        seq, qual, pos_rel, parity, pa, pb, code, srtk, cntk, ref, woff_rel,
-        L=L, LP2=LP2, PB=PB, max_shift=max_shift, ntiles=ntiles, T=T,
-        HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, min_phred=min_phred, W=W,
-    )  # [4, W] uint32 (inlined; XLA fuses the gather into the epilogue)
+    cand = args[-1]
+    full = _window_channels(*args[:-1], **statics)
     sel = full[:NCH, cand]
     overflow = jnp.any(sel > jnp.uint32(0xFFFF))
     return sel.astype(jnp.uint16), overflow
+
+
+@functools.partial(jax.jit, static_argnames=_PACKED_STATICS[:-1])
+def _fused_window_wide(*args, **statics):
+    return _window_channels(*args, **statics)
 
 
 def _rows_gapless(refpos, pos, l_qseq):
@@ -483,6 +508,16 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
 
     counters = np.zeros((W, 4), dtype=np.uint32)
 
+    if not interpret:
+        part = _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag,
+                               a_np, b_np, pair_simple, xla_rows,
+                               ref_window, win_start,
+                               win_offset - win_start, W_fixed)
+        if part is None:
+            return None  # coverage skew: caller falls back
+        counters += part[:W]
+        return counters
+
     # --- exact XLA path for the complicated rows
     if xla_rows.any():
         rows = np.nonzero(xla_rows)[0]
@@ -517,15 +552,6 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
         f_pos = pos[rows] - win_start
         f_st = st[rows]
         f_flag = flag[rows]
-        if not interpret:
-            part = _fused_fast_dispatch(cfg, f_seq, f_qual, f_pos, f_st,
-                                        a_np, b_np, pair_simple, remap,
-                                        ref_window, win_offset - win_start,
-                                        W_fixed)
-            if part is None:
-                return None  # coverage skew: caller falls back
-            counters += part[:W]
-            return counters
         seq_a, qual_a, aligned, parity = pk.prealign_reads(f_seq, f_qual,
                                                            f_pos, f_st)
         # arbitration on the simple pairs (adjacent-mate packing)
@@ -577,16 +603,26 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
     return counters
 
 
-def _fused_fast_dispatch(cfg, f_seq, f_qual, f_pos, f_st, a_np, b_np,
-                         pair_simple, remap, ref_window, woff_rel, W_fixed,
-                         max_gmax=4096):
-    """Host choreography for _fused_fast_window: sort rows by aligned start,
-    remap pair indices, compute the pileup group tables, bucket shapes
-    (powers of two, so repeated windows reuse the compiled program), pad,
-    and make the single device call. Returns uint32 [W_fixed, 4] or None on
-    coverage skew (caller falls back to the XLA scatter path)."""
+def _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag, a_np, b_np,
+                    pair_simple, xla_rows, ref_window, win_start, woff_rel,
+                    W_fixed, max_gmax=4096):
+    """Host choreography for the whole device window: split rows into the
+    Pallas fast set (gapless) and the XLA hard set (indels/clips), sort the
+    fast rows by aligned start, remap pair indices, compute the pileup
+    group tables, bucket every shape (powers of two, so repeated windows —
+    including ones with varying indel counts — reuse one compiled program),
+    pad, and make the single device call. Returns uint32 [W_fixed, 4] or
+    None on coverage skew (caller falls back to the XLA scatter path)."""
+    fast = ~xla_rows
+    rows = np.nonzero(fast)[0]
+    remap = -np.ones(len(xla_rows), np.int64)
+    remap[rows] = np.arange(len(rows))
+    f_seq = seq[rows]
+    f_qual = qual[rows]
+    f_pos = pos[rows] - win_start
+    f_st = st[rows]
     n = len(f_seq)
-    L = f_seq.shape[1]
+    L = seq.shape[1]
     LP = _round_up(max(L, 128), 128)
     LP2 = _round_up(L + 127, 128)
     T = 512
@@ -675,21 +711,71 @@ def _fused_fast_dispatch(cfg, f_seq, f_qual, f_pos, f_st, a_np, b_np,
     cand_p[:nc] = cand
     NCH = 4 if cfg.minOppositeDepth > 0 else 2
 
-    common = (
+    # Hard rows (indels/clips + both mates of any pair containing one):
+    # the exact XLA dense path, shape-bucketed so indel-count variation
+    # across windows never recompiles. Pad pairs point at the final pad row
+    # (never a real row) so duplicate-index scatter writes stay benign.
+    hrows = np.nonzero(xla_rows)[0]
+    HAS_HARD = bool(len(hrows))
+    OVW = _round_up(max(2 * L, 1), 128)
+    if HAS_HARD:
+        NH = 256
+        while NH < len(hrows) + 1:
+            NH *= 2
+        hseq = np.zeros((NH, L), np.uint8)
+        hqual = np.zeros((NH, L), np.uint8)
+        hrefpos = np.full((NH, L), -2, np.int32)
+        hstrand = np.ones(NH, np.int32)
+        hkeep = np.zeros(NH, bool)
+        nh = len(hrows)
+        hseq[:nh] = seq[hrows]
+        hqual[:nh] = qual[hrows]
+        hrefpos[:nh] = (refpos[hrows] - win_start).astype(np.int32)
+        hstrand[:nh] = st[hrows]
+        hkeep[:nh] = True
+        hremap = -np.ones(len(xla_rows), np.int64)
+        hremap[hrows] = np.arange(nh)
+        hsel = ~np.asarray(pair_simple, bool) if len(a_np) else np.zeros(0, bool)
+        hpa_r = hremap[a_np[hsel]]
+        hpb_r = hremap[b_np[hsel]]
+        HP = 64
+        while HP < max(len(hpa_r), 1):
+            HP *= 2
+        hpa = np.full(HP, NH - 1, np.int32)
+        hpb = np.full(HP, NH - 1, np.int32)
+        hpv = np.zeros(HP, bool)
+        hpa[: len(hpa_r)] = hpa_r
+        hpb[: len(hpb_r)] = hpb_r
+        hpv[: len(hpa_r)] = True
+    else:
+        hseq = np.zeros((1, L), np.uint8)
+        hqual = np.zeros((1, L), np.uint8)
+        hrefpos = np.full((1, L), -2, np.int32)
+        hstrand = np.ones(1, np.int32)
+        hkeep = np.zeros(1, bool)
+        hpa = np.zeros(1, np.int32)
+        hpb = np.zeros(1, np.int32)
+        hpv = np.zeros(1, bool)
+
+    args = (
         jnp.asarray(seq_p), jnp.asarray(qual_p), jnp.asarray(pos_p),
         jnp.asarray(parity_p), jnp.asarray(pa_p), jnp.asarray(pb_p),
         jnp.asarray(code_p), jnp.asarray(srtk), jnp.asarray(cntk),
         jnp.asarray(ref_p), jnp.int32(woff_rel),
+        jnp.asarray(hseq), jnp.asarray(hqual), jnp.asarray(hrefpos),
+        jnp.asarray(hstrand), jnp.asarray(hkeep), jnp.asarray(hpa),
+        jnp.asarray(hpb), jnp.asarray(hpv),
     )
     statics = dict(L=L, LP2=LP2, PB=PB, max_shift=2, ntiles=ntiles, T=T,
                    HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX,
-                   min_phred=cfg.minPhred, W=wpad)
-    sel, overflow = _fused_fast_window_packed(
-        *common, jnp.asarray(cand_p), NCH=NCH, **statics)
+                   min_phred=cfg.minPhred, W=wpad, OVW=OVW,
+                   HAS_HARD=HAS_HARD)
+    sel, overflow = _fused_window_packed(
+        *args, jnp.asarray(cand_p), NCH=NCH, **statics)
     sel = np.asarray(jax.device_get(sel))
     counters = np.zeros((wpad, 4), np.uint32)
     if bool(overflow):  # depth > 65535 somewhere: refetch wide (rare)
-        out = _fused_fast_window(*common, **statics)
+        out = _fused_window_wide(*args, **statics)
         return np.ascontiguousarray(np.asarray(jax.device_get(out)).T[:W_fixed])
     counters[cand, :NCH] = sel[:, :nc].T
     return counters[:W_fixed]
