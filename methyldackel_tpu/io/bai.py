@@ -81,6 +81,71 @@ def reg2bin(beg: int, end: int) -> int:
     return 0
 
 
+class _BaiAccumulator:
+    """Shared BAI bin/linear-index accumulator (UCSC binning + 16kb linear
+    windows + the 37450 metadata pseudo-bin), fed record-by-record by both
+    the in-memory and the streaming builder."""
+
+    def __init__(self, n_ref: int):
+        self.n_ref = n_ref
+        self.bins: list[dict] = [{} for _ in range(n_ref)]
+        self.linear: list[dict] = [{} for _ in range(n_ref)]
+        self.span: list[list] = [[None, None] for _ in range(n_ref)]
+        self.counts = [[0, 0] for _ in range(n_ref)]
+
+    def add(self, tid: int, beg: int, end: int, unmapped: bool,
+            v0: int, v1: int) -> None:
+        self.counts[tid][1 if unmapped else 0] += 1
+        sp = self.span[tid]
+        if sp[0] is None or v0 < sp[0]:
+            sp[0] = v0
+        if sp[1] is None or v1 > sp[1]:
+            sp[1] = v1
+        b = reg2bin(beg, max(end, beg + 1))
+        chunks = self.bins[tid].setdefault(b, [])
+        if chunks and chunks[-1][1] == v0:
+            chunks[-1] = (chunks[-1][0], v1)
+        else:
+            chunks.append((v0, v1))
+        lin = self.linear[tid]
+        for w in range(beg >> 14, ((max(end, beg + 1) - 1) >> 14) + 1):
+            cur = lin.get(w)
+            if cur is None or v0 < cur:
+                lin[w] = v0
+
+    def write(self, path: str, n_no_coor: int) -> None:
+        out = bytearray(b"BAI\x01")
+        out += struct.pack("<i", self.n_ref)
+        for tid in range(self.n_ref):
+            bins, span, counts = self.bins[tid], self.span[tid], self.counts[tid]
+            n_bin = len(bins) + (1 if span[0] is not None else 0)
+            out += struct.pack("<i", n_bin)
+            for bin_id in sorted(bins):
+                chunks = bins[bin_id]
+                out += struct.pack("<Ii", bin_id, len(chunks))
+                for c0, c1 in chunks:
+                    out += struct.pack("<QQ", c0, c1)
+            if span[0] is not None:
+                # metadata pseudo-bin (37450): [off_beg, off_end], [mapped, unmapped]
+                out += struct.pack("<Ii", 37450, 2)
+                out += struct.pack("<QQ", span[0], span[1])
+                out += struct.pack("<QQ", counts[0], counts[1])
+            if self.linear[tid]:
+                n_intv = max(self.linear[tid]) + 1
+                vals = []
+                prev = 0
+                for w in range(n_intv):
+                    prev = self.linear[tid].get(w, prev)
+                    vals.append(prev)
+                out += struct.pack("<i", n_intv)
+                out += struct.pack(f"<{n_intv}Q", *vals)
+            else:
+                out += struct.pack("<i", 0)
+        out += struct.pack("<Q", n_no_coor)
+        with open(path, "wb") as fh:
+            fh.write(bytes(out))
+
+
 def build_bai(bamfile, path: str) -> None:
     """Build a BAI index for a decoded BamFile (bam_index_build parity,
     extract.c:1050). Uses the BGZF block map to produce the records'
@@ -102,11 +167,7 @@ def build_bai(bamfile, path: str) -> None:
         b = blocks[i]
         return (b.coffset << 16) | (flat - b.uoffset)
 
-    n_ref = bamfile.header.n_targets
-    bins: list[dict] = [{} for _ in range(n_ref)]
-    linear: list[dict] = [{} for _ in range(n_ref)]
-    span: list[list] = [[None, None] for _ in range(n_ref)]  # off_beg, off_end
-    counts = [[0, 0] for _ in range(n_ref)]  # mapped, unmapped
+    acc = _BaiAccumulator(bamfile.header.n_targets)
     n_no_coor = 0
     offs = bamfile.record_offsets
     for i in range(bamfile.n_reads):
@@ -115,52 +176,67 @@ def build_bai(bamfile, path: str) -> None:
         if tid < 0 or beg < 0:
             n_no_coor += 1
             continue
-        end = int(bamfile.endpos[i])
-        v0 = voffset(int(offs[i]))
-        v1 = voffset(int(offs[i + 1]))
-        unmapped = bool(bamfile.flag[i] & 0x4)
-        counts[tid][1 if unmapped else 0] += 1
-        if span[tid][0] is None or v0 < span[tid][0]:
-            span[tid][0] = v0
-        if span[tid][1] is None or v1 > span[tid][1]:
-            span[tid][1] = v1
-        b = reg2bin(beg, max(end, beg + 1))
-        chunks = bins[tid].setdefault(b, [])
-        if chunks and chunks[-1][1] == v0:
-            chunks[-1] = (chunks[-1][0], v1)
-        else:
-            chunks.append((v0, v1))
-        for w in range(beg >> 14, ((max(end, beg + 1) - 1) >> 14) + 1):
-            cur = linear[tid].get(w)
-            if cur is None or v0 < cur:
-                linear[tid][w] = v0
+        acc.add(tid, beg, int(bamfile.endpos[i]), bool(bamfile.flag[i] & 0x4),
+                voffset(int(offs[i])), voffset(int(offs[i + 1])))
+    acc.write(path, n_no_coor)
 
-    out = bytearray(b"BAI\x01")
-    out += struct.pack("<i", n_ref)
-    for tid in range(n_ref):
-        n_bin = len(bins[tid]) + (1 if span[tid][0] is not None else 0)
-        out += struct.pack("<i", n_bin)
-        for bin_id in sorted(bins[tid]):
-            chunks = bins[tid][bin_id]
-            out += struct.pack("<Ii", bin_id, len(chunks))
-            for c0, c1 in chunks:
-                out += struct.pack("<QQ", c0, c1)
-        if span[tid][0] is not None:
-            # metadata pseudo-bin (37450): [off_beg, off_end], [mapped, unmapped]
-            out += struct.pack("<Ii", 37450, 2)
-            out += struct.pack("<QQ", span[tid][0], span[tid][1])
-            out += struct.pack("<QQ", counts[tid][0], counts[tid][1])
-        if linear[tid]:
-            n_intv = max(linear[tid]) + 1
-            vals = []
-            prev = 0
-            for w in range(n_intv):
-                prev = linear[tid].get(w, prev)
-                vals.append(prev)
-            out += struct.pack("<i", n_intv)
-            out += struct.pack(f"<{n_intv}Q", *vals)
+
+def build_bai_streaming(bam_path: str, out_path: str) -> None:
+    """Build a BAI with O(chunk) memory: sequential record-aligned chunks
+    of the flat stream (BGZFBlockIndex, no whole-file inflation), decoded
+    per chunk (native decoder when built), records fed to the shared
+    accumulator. This is how streaming mode indexes a huge BAM that
+    arrives without a .bai."""
+    import os
+    import numpy as np
+    from .bgzf import BGZFBlockIndex
+    from .bam import parse_bam_header_flat, SegmentSoA
+    from . import native
+
+    blocks = BGZFBlockIndex(bam_path)
+    header, first = parse_bam_header_flat(blocks)
+    file_size = os.path.getsize(bam_path)
+    acc = _BaiAccumulator(header.n_targets)
+    n_no_coor = 0
+
+    def voffset(flat: int) -> int:
+        if flat >= blocks.usize:
+            return file_size << 16
+        i = int(np.searchsorted(blocks.uoffsets, flat, side="right")) - 1
+        return (int(blocks.coffsets[i]) << 16) | (flat - int(blocks.uoffsets[i]))
+
+    pos = first
+    chunk_size = 32 << 20
+    while pos < blocks.usize:
+        buf = blocks.read_flat_range(pos, pos + chunk_size)
+        p = 0
+        n = len(buf)
+        while p + 4 <= n:
+            (bs,) = struct.unpack_from("<i", buf, p)
+            if p + 4 + bs > n:
+                break
+            p += 4 + bs
+        if p == 0:
+            if pos + n >= blocks.usize:
+                raise ValueError(f"truncated final BAM record in {bam_path}")
+            chunk_size *= 2
+            continue
+        chunk = bytes(buf[:p])
+        dec = native.bam_decode(chunk, 0) if native.available() else None
+        if dec is not None:
+            tids, poss = dec["tid"], dec["pos"]
+            ends, flags, offs = dec["endpos"], dec["flag"], dec["record_offsets"]
         else:
-            out += struct.pack("<i", 0)
-    out += struct.pack("<Q", n_no_coor)
-    with open(path, "wb") as fh:
-        fh.write(bytes(out))
+            seg = SegmentSoA(header, chunk, 0)
+            tids, poss = seg.tid, seg.pos
+            ends, flags, offs = seg.endpos, seg.flag, seg.record_offsets
+        for i in range(len(tids)):
+            tid = int(tids[i])
+            beg = int(poss[i])
+            if tid < 0 or beg < 0:
+                n_no_coor += 1
+                continue
+            acc.add(tid, beg, int(ends[i]), bool(flags[i] & 0x4),
+                    voffset(pos + int(offs[i])), voffset(pos + int(offs[i + 1])))
+        pos += p
+    acc.write(out_path, n_no_coor)

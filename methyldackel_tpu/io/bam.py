@@ -319,6 +319,31 @@ class BamFile(AlignmentSoA):
         self._finalize_order()
 
 
+def parse_bam_header_flat(blocks) -> tuple[BamHeader, int]:
+    """Parse the BAM header from a BGZFBlockIndex without inflating the
+    whole stream. Returns (header, flat offset of the first record)."""
+    head = blocks.read_flat_range(0, 1 << 16)
+    if head[:4] != b"BAM\x01":
+        raise ValueError("not a BAM stream")
+    l_text = struct.unpack_from("<i", head, 4)[0]
+    need = 8 + l_text + (1 << 20)
+    if len(head) < min(need, blocks.usize):
+        head = blocks.read_flat_range(0, need)
+    text = head[8 : 8 + l_text].split(b"\x00", 1)[0].decode()
+    p = 8 + l_text
+    n_ref = struct.unpack_from("<i", head, p)[0]
+    p += 4
+    names, lengths = [], []
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", head, p)[0]
+        p += 4
+        names.append(head[p : p + l_name - 1].decode())
+        p += l_name
+        lengths.append(struct.unpack_from("<i", head, p)[0])
+        p += 4
+    return BamHeader(text, names, lengths), p
+
+
 class SegmentSoA(BamFile):
     """A decoded slice of a BAM's record stream (streaming mode's per-window
     view). Reuses BamFile's decode/query machinery on an in-memory byte
@@ -356,27 +381,7 @@ class StreamingBamFile:
 
         self.path = path
         self.blocks = BGZFBlockIndex(path)
-        head = self.blocks.read_flat_range(0, 1 << 16)
-        if head[:4] != b"BAM\x01":
-            raise ValueError(f"{path} is not a BAM file")
-        l_text = struct.unpack_from("<i", head, 4)[0]
-        need = 8 + l_text + (1 << 20)
-        if len(head) < min(need, self.blocks.usize):
-            head = self.blocks.read_flat_range(0, need)
-        text = head[8 : 8 + l_text].split(b"\x00", 1)[0].decode()
-        p = 8 + l_text
-        n_ref = struct.unpack_from("<i", head, p)[0]
-        p += 4
-        names, lengths = [], []
-        for _ in range(n_ref):
-            l_name = struct.unpack_from("<i", head, p)[0]
-            p += 4
-            names.append(head[p : p + l_name - 1].decode())
-            p += l_name
-            lengths.append(struct.unpack_from("<i", head, p)[0])
-            p += 4
-        self.header = BamHeader(text, names, lengths)
-        self._first_rec_flat = p
+        self.header, self._first_rec_flat = parse_bam_header_flat(self.blocks)
         cands = [path + ".bai", path.rsplit(".", 1)[0] + ".bai"]
         bai = next((c for c in cands if os.path.exists(c)), None)
         if bai is None:

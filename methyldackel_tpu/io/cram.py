@@ -1376,14 +1376,14 @@ def open_alignment(path: str, fasta=None):
     if force or big:
         has_bai = any(os.path.exists(c)
                       for c in (path + ".bai", path.rsplit(".", 1)[0] + ".bai"))
-        if has_bai:
-            return StreamingBamFile(path)
-        if force:
-            raise FileNotFoundError(
-                f"MDTPU_STREAM=1 needs an index next to {path} (.bai)")
-        import sys
+        if not has_bai:
+            # Build it with O(chunk) memory (bam_index_build parity,
+            # extract.c:1050-1057) — never inflate a huge file whole.
+            import sys
+            from .bai import build_bai_streaming
 
-        sys.stderr.write(
-            f"[mdtpu] {path} is large but has no .bai; decoding in memory. "
-            "Index it to enable streaming mode.\n")
+            sys.stderr.write(
+                f"Couldn't load the index for {path}, will attempt to build it.\n")
+            build_bai_streaming(path, path + ".bai")
+        return StreamingBamFile(path)
     return BamFile(path)

@@ -155,3 +155,20 @@ def test_bgzf_block_index_random_ranges():
         a = int(rng.integers(0, len(full)))
         b = int(rng.integers(a, len(full) + 1))
         assert bi.read_flat_range(a, b) == full[a:b]
+
+
+def test_streaming_bai_builder_matches_inmemory():
+    """build_bai_streaming (chunked, O(chunk) memory) must emit the same
+    bytes as the in-memory builder (itself byte-identical to htslib on
+    modern-convention fixtures)."""
+    import tempfile, os
+    from methyldackel_tpu.io.bai import build_bai, build_bai_streaming
+
+    for name in ("cg_aln.bam", "ct_aln.bam", "NH.bam"):
+        path = f"{FIX}/{name}"
+        with tempfile.TemporaryDirectory() as d:
+            mem = os.path.join(d, "mem.bai")
+            strm = os.path.join(d, "strm.bai")
+            build_bai(BamFile(path), mem)
+            build_bai_streaming(path, strm)
+            assert open(mem, "rb").read() == open(strm, "rb").read(), name
