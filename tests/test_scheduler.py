@@ -168,3 +168,18 @@ def test_streaming_mode_invariance(fixture_dir):
     m2 = md_s(["mbias", "--txt", "--noSVG", "cg100.fa", "cg_aln.bam", "-q", "2"],
               fixture_dir)
     assert m1.stdout == m2.stdout and m1.stdout.strip()
+
+
+def test_streaming_region_invariance(fixture_dir):
+    """-r region under streaming mode equals the in-memory result."""
+    import subprocess, sys as _sys
+    env2 = dict(ENV, MDTPU_STREAM="1")
+    base = ["extract", "-r", "chrCG:20-60", "cg100.fa", "cg_aln.bam", "-q", "2"]
+    md(base + ["-o", "rmem"], fixture_dir)
+    r = subprocess.run([_sys.executable, "-m", "methyldackel_tpu.cli"] + base
+                       + ["-o", "rstrm"], cwd=fixture_dir, env=env2,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    a = open(fixture_dir / "rmem_CpG.bedGraph").read().splitlines()[1:]
+    b = open(fixture_dir / "rstrm_CpG.bedGraph").read().splitlines()[1:]
+    assert a == b and len(a) > 0
