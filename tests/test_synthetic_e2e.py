@@ -143,3 +143,24 @@ def test_mbias_chunking_merge(tmp_path):
     assert r1.returncode == 0 and r2.returncode == 0
     assert r1.stdout == r2.stdout
     assert "OT\t1\t1\t40\t0" in r1.stdout
+
+
+def test_multi_contig_streaming(tmp_path):
+    """Streaming mode across contig transitions (BAI auto-built by the
+    O(chunk) streaming builder) matches the in-memory decode."""
+    import subprocess, sys as _sys
+
+    write_fa(tmp_path / "g.fa", [("chrA", "ACGTACGTAC"), ("chrB", "TTCGTTTTTT")])
+    write_bam(tmp_path / "r.bam", [("chrA", 10), ("chrB", 10)], [
+        dict(qname="a", flag=0, tid=0, pos=0, seq="ACGTACGTAC", mtid=-1, mpos=-1),
+        dict(qname="b", flag=0, tid=1, pos=0, seq="TTCGTTTTTT", mtid=-1, mpos=-1),
+    ])
+    r1 = md(["extract", "g.fa", "r.bam", "-o", "m"], tmp_path)
+    assert r1.returncode == 0, r1.stderr
+    env2 = dict(ENV, MDTPU_STREAM="1")
+    r2 = subprocess.run([_sys.executable, "-m", "methyldackel_tpu.cli",
+                         "extract", "g.fa", "r.bam", "-o", "s"],
+                        cwd=tmp_path, env=env2, capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stderr
+    assert rows(tmp_path / "m_CpG.bedGraph") == rows(tmp_path / "s_CpG.bedGraph")
+    assert (tmp_path / "r.bam.bai").exists()  # auto-built, streaming
