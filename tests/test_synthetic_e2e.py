@@ -164,3 +164,57 @@ def test_multi_contig_streaming(tmp_path):
     assert r2.returncode == 0, r2.stderr
     assert rows(tmp_path / "m_CpG.bedGraph") == rows(tmp_path / "s_CpG.bedGraph")
     assert (tmp_path / "r.bam.bai").exists()  # auto-built, streaming
+
+
+def test_streaming_threads_combo(tmp_path):
+    """MDTPU_STREAM=1 with -@ 3 and a small chunk size: the per-thread
+    window_soa decodes must still drain in genome order, byte-identical."""
+    import subprocess, sys as _sys, numpy as np
+
+    rng = np.random.default_rng(5)
+    glen = 400
+    ref = "".join(rng.choice(list("ACGT"), glen))
+    write_fa(tmp_path / "g.fa", [("c", ref)])
+    recs = []
+    for k in range(60):
+        p = int(rng.integers(0, glen - 80))
+        seq = ref[p : p + 40].replace("C", "T") if k % 2 else ref[p : p + 40]
+        recs.append(dict(qname=f"r{k}", flag=0, tid=0, pos=p, seq=seq,
+                         mtid=-1, mpos=-1))
+    recs.sort(key=lambda r: r["pos"])
+    write_bam(tmp_path / "r.bam", [("c", glen)], recs)
+    r1 = md(["extract", "--chunkSize", "64", "g.fa", "r.bam", "-o", "m"], tmp_path)
+    assert r1.returncode == 0, r1.stderr
+    env2 = dict(ENV, MDTPU_STREAM="1")
+    r2 = subprocess.run([_sys.executable, "-m", "methyldackel_tpu.cli",
+                         "extract", "--chunkSize", "64", "-@", "3",
+                         "g.fa", "r.bam", "-o", "s"],
+                        cwd=tmp_path, env=env2, capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stderr
+    assert rows(tmp_path / "m_CpG.bedGraph") == rows(tmp_path / "s_CpG.bedGraph")
+
+
+def test_xg_tag_nondirectional(tmp_path):
+    """Bismark XG:Z: tags flip strand inference (getStrand, common.c:86-107):
+    an unpaired forward read with XG:Z:GA is CTOB — calls come from G
+    positions, not C positions."""
+    write_fa(tmp_path / "g.fa", [("c", "ACGTTTCGTT")])
+    xg_ga = b"XGZGA\x00"
+    xg_ct = b"XGZCT\x00"
+    write_bam(tmp_path / "r.bam", [("c", 10)], [
+        dict(qname="a", flag=0, tid=0, pos=0, seq="ACGTTTCATT",
+             mtid=-1, mpos=-1, tags=xg_ga),
+        dict(qname="b", flag=0, tid=0, pos=0, seq="ACGTTTCATT",
+             mtid=-1, mpos=-1, tags=xg_ct),
+    ])
+    r = md(["extract", "g.fa", "r.bam", "-o", "o"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    got = rows(tmp_path / "o_CpG.bedGraph")
+    # read a (XG:GA → CTOB, even strand): G at 2 kept (meth), G at 7 read A
+    # (unmeth). read b (XG:CT → CTOT, odd): C at 1? positions 1 C? ref
+    # ACGTTTCGTT: C at 1 (CpG with G2), C at 6 (CpG with G7).
+    # read b has C at 1 (meth) and C at 6 (meth).
+    assert ["c", "1", "2", "100", "1", "0"] in got
+    assert ["c", "2", "3", "100", "1", "0"] in got
+    assert ["c", "6", "7", "100", "1", "0"] in got
+    assert ["c", "7", "8", "0", "0", "1"] in got
