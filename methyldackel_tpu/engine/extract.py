@@ -194,15 +194,38 @@ def emit_window(cfg, chrom: str, tid: int, win_start: int, win_end: int,
             variant_mask = (noff_v >= cfg.minOppositeDepth) & (frac >= cfg.maxVariantFrac)
         emit = ctx_kept & ~variant_mask & ((nm_v + nu_v) > 0)
         n_variant = int((ctx_kept & variant_mask & has_data).sum())
-        for w in np.nonzero(emit)[0]:
-            pos = win_start + int(w)
-            t = int(ct[w])
-            line = formats.write_call(cfg, chrom, pos, 1, int(nm_v[w]),
-                                      int(nu_v[w]),
-                                      int(ref_window[w + (win_start - win_offset)]),
-                                      None, None)
-            if line:
-                lines[t].append(line)
+        if cfg.minDepth > 1:
+            emit &= (nm_v + nu_v) >= cfg.minDepth
+        if (cfg.fraction or cfg.logit or cfg.counts or cfg.methylKit):
+            for w in np.nonzero(emit)[0]:
+                pos = win_start + int(w)
+                t = int(ct[w])
+                line = formats.write_call(cfg, chrom, pos, 1, int(nm_v[w]),
+                                          int(nu_v[w]),
+                                          int(ref_window[w + (win_start - win_offset)]),
+                                          None, None)
+                if line:
+                    lines[t].append(line)
+            return WindowResult(lines, n_variant)
+        # Default bedGraph: batch-format each context's rows in one pass
+        # (Python-level np-scalar indexing per row is ~3x slower). The C's
+        # (int)(100.0*m/(m+u)) is float64 division + trunc, reproduced
+        # bit-for-bit below (extract.c:50).
+        for t in range(3):
+            if not keep_vec[t]:
+                continue
+            w = np.nonzero(emit & (ct == t))[0]
+            if len(w) == 0:
+                continue
+            nm_t = nm_v[w]
+            nu_t = nu_v[w]
+            pct = np.trunc(100.0 * nm_t / (nm_t + nu_t)).astype(np.int64)
+            pos_t = win_start + w
+            lines[t].append("".join(
+                f"{chrom}\t{p}\t{p + 1}\t{v}\t{m}\t{u}\n"
+                for p, v, m, u in zip(pos_t.tolist(), pct.tolist(),
+                                      nm_t.tolist(), nu_t.tolist())
+            ))
         return WindowResult(lines, n_variant)
 
     if cfg.cytosine_report:

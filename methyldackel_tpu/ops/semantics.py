@@ -299,13 +299,13 @@ def _arbitrate_gapless_dense(seq, qual, refpos, nvalid, a_idx, b_idx):
     the a/b role asymmetry (the agree-tie boost goes to b,
     overlaps.c:95-103) are identical to the loop path. Mutates qual."""
     L = seq.shape[1]
-    col = np.arange(L, dtype=np.int64)[None, :]
-    d = (refpos[b_idx, 0] - refpos[a_idx, 0])[:, None]  # b start in a frame
+    col = np.arange(L, dtype=np.int32)[None, :]
+    d = (refpos[b_idx, 0] - refpos[a_idx, 0]).astype(np.int32)[:, None]
     # Snapshot both sides: each side's update reads the OTHER side's
     # pre-update quals (the C rewrites from the captured pair state,
     # overlaps.c:70-115) — writing a first must not feed into b's pass.
-    qa_orig = qual[a_idx].astype(np.int64)
-    qb_orig = qual[b_idx].astype(np.int64)
+    qa_orig = qual[a_idx].astype(np.int16)
+    qb_orig = qual[b_idx].astype(np.int16)
     seq_a = seq[a_idx]
     seq_b = seq[b_idx]
     nv_a = nvalid[a_idx][:, None]
@@ -323,20 +323,17 @@ def _arbitrate_gapless_dense(seq, qual, refpos, nvalid, a_idx, b_idx):
         has = in_range & (col < nv_self) & (jo < nv_other)
         return q_o, b_o, has
 
+    # The five outcome categories partition every overlapped position
+    # (differ → a-wins / b-wins / zero-both; agree → a-wins / b-wins), so
+    # each side's new qual is a two-level select — no np.select temporaries.
     qa = qa_orig
     ba = seq_a
     qb_al, bb_al, has_a = aligned_views(qb_orig, seq_b, nv_a, nv_b, d)
     differ = ba != bb_al
     awins_d = differ & (qa > qb_al) & (ba != N)
-    bwins_d = differ & ~awins_d & (qb_al > qa) & (bb_al != N)
-    zero_d = differ & ~awins_d & ~bwins_d
     awins_s = ~differ & (qa > qb_al)
-    bwins_s = ~differ & ~awins_s
-    new_qa = np.select(
-        [awins_d, awins_s, bwins_d | bwins_s | zero_d],
-        [qa - qb_al, QUAL_BOOST[qa], 0],
-        default=qa,
-    )
+    new_qa = np.where(awins_d, qa - qb_al,
+                      np.where(awins_s, QUAL_BOOST[qa], 0))
     qual[a_idx] = np.where(has_a, new_qa, qa).astype(np.uint8)
 
     qb = qb_orig
@@ -345,14 +342,9 @@ def _arbitrate_gapless_dense(seq, qual, refpos, nvalid, a_idx, b_idx):
     differ = ba_al != bb
     awins_d = differ & (qa_al > qb) & (ba_al != N)
     bwins_d = differ & ~awins_d & (qb > qa_al) & (bb != N)
-    zero_d = differ & ~awins_d & ~bwins_d
-    awins_s = ~differ & (qa_al > qb)
-    bwins_s = ~differ & ~awins_s
-    new_qb = np.select(
-        [bwins_d, bwins_s, awins_d | awins_s | zero_d],
-        [qb - qa_al, QUAL_BOOST[qb], 0],
-        default=qb,
-    )
+    bwins_s = ~differ & (qa_al <= qb)
+    new_qb = np.where(bwins_d, qb - qa_al,
+                      np.where(bwins_s, QUAL_BOOST[qb], 0))
     qual[b_idx] = np.where(has_b, new_qb, qb).astype(np.uint8)
 
 
@@ -486,23 +478,29 @@ def pileup_channels(seq, qual, refpos, strand_arr, keep_base, ref_window,
     valid = (refpos >= win_start) & (refpos < win_end) & keep_base
     if not valid.any():
         return counters
-    rp = refpos[valid] - win_start
-    refbase = ref_window[refpos[valid] - win_offset]
-    sodd = np.broadcast_to((strand_arr.astype(np.int64) & 1)[:, None] == 1, seq.shape)[valid]
-    base = seq[valid]
-    q = qual[valid]
+    # Stay 2D throughout: nearly every base is in-window, so boolean-mask
+    # extraction of the big arrays costs full gathers without shrinking the
+    # later elementwise work. Gather only the final (small) channel sets,
+    # then one bincount over a fused (position, channel) index (bincount is
+    # ~10x faster than the np.add.at scatter-add it replaces).
+    widx = np.where(valid, refpos - win_offset, 0)
+    refbase = ref_window[widx]
+    sodd = (strand_arr & 1)[:, None] == 1
     calling = np.where(sodd, refbase == REF_C, refbase == REF_G)
-    passing = q >= min_phred
+    act = valid & (qual >= min_phred)
 
-    meth = calling & passing & np.where(sodd, base == C, base == G)
-    unmeth = calling & passing & np.where(sodd, base == T, base == A)
-    off = ~calling & passing
-    variant = off & np.where(sodd, (base != G) & (base != N), (base != C) & (base != N))
+    meth_b = np.where(sodd, seq == C, seq == G)
+    unmeth_b = np.where(sodd, seq == T, seq == A)
+    on = act & calling
+    off = act & ~calling
+    variant = off & ~np.where(sodd, (seq == G) | (seq == N), (seq == C) | (seq == N))
 
-    np.add.at(counters[:, CH_METH], rp[meth], 1)
-    np.add.at(counters[:, CH_UNMETH], rp[unmeth], 1)
-    np.add.at(counters[:, CH_OFF], rp[off], 1)
-    np.add.at(counters[:, CH_VARIANT], rp[variant], 1)
+    rp4 = np.where(valid, refpos - win_start, 0).astype(np.int64) * 4
+    flat = np.concatenate([
+        rp4[on & meth_b] + CH_METH, rp4[on & unmeth_b] + CH_UNMETH,
+        rp4[off] + CH_OFF, rp4[variant] + CH_VARIANT,
+    ])
+    counters += np.bincount(flat, minlength=W * 4).reshape(W, 4).astype(np.uint32)
     return counters
 
 
