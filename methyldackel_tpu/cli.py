@@ -307,23 +307,36 @@ def extract_main(argv) -> int:
         if rc is not None:
             return rc
 
-    # Output files
+    # Output files. In a multi-host job only host 0 creates the final files
+    # (and headers); every host emits per-window shards that reassemble in
+    # window order (engine/extract.py + parallel/distributed.py).
+    from .parallel.distributed import host_role
+
+    cfg.hostId, cfg.nHosts = host_role()
     if opref is None:
         opref = pos[1].rsplit(".", 1)[0] if "." in pos[1] else pos[1]
         sys.stderr.write(f"writing to prefix:'{opref}'\n")
     streams = [None, None, None]
     opened = []
+    cfg.out_paths = [None, None, None]
     if cfg.cytosine_report:
-        f = open(formats.output_name(cfg, opref, ""), "w")
-        streams = [f, f, f]
-        opened.append(f)
+        path = formats.output_name(cfg, opref, "")
+        cfg.out_paths = [path, path, path]
+        if cfg.hostId == 0:
+            f = open(path, "w")
+            streams = [f, f, f]
+            opened.append(f)
     else:
         for slot, (keep, ctx) in enumerate(
             [(cfg.keepCpG, "CpG"), (cfg.keepCHG, "CHG"), (cfg.keepCHH, "CHH")]
         ):
             if not keep:
                 continue
-            f = open(formats.output_name(cfg, opref, ctx), "w")
+            path = formats.output_name(cfg, opref, ctx)
+            cfg.out_paths[slot] = path
+            if cfg.hostId != 0:
+                continue
+            f = open(path, "w")
             if cfg.methylKit:
                 f.write(formats.METHYLKIT_HEADER)
             else:

@@ -509,31 +509,60 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
             return emit_window(cfg, name, tid, lpos, lend, lpos2, ref_window,
                                np.asarray(counters), covered)
 
-    def drain(result):
+    # Multi-host (DCN) sharding of the genome cursor: host h owns every
+    # window w with w % n_hosts == h; rows land in per-window shard files
+    # reassembled in window order (parallel/distributed.py) — the
+    # multi-host analogue of the ticket-ordered flush (extract.c:514-535).
+    host_id = int(getattr(cfg, "hostId", 0) or 0)
+    n_hosts = max(1, int(getattr(cfg, "nHosts", 1) or 1))
+    out_paths = getattr(cfg, "out_paths", None) or [None, None, None]
+
+    def drain(widx, result):
         nonlocal n_variant_positions
         if result is None:
             return
         n_variant_positions += result.n_variant_positions
+        if n_hosts == 1:
+            for slot in range(3):
+                if result.lines[slot] and out_streams[slot] is not None:
+                    out_streams[slot].write("".join(result.lines[slot]))
+            return
+        texts = {}
         for slot in range(3):
-            if result.lines[slot] and out_streams[slot] is not None:
-                out_streams[slot].write("".join(result.lines[slot]))
+            if result.lines[slot] and out_paths[slot]:
+                texts.setdefault(out_paths[slot], []).append(
+                    "".join(result.lines[slot]))
+        for path, chunks in texts.items():
+            with open(f"{path}.h{host_id}.w{widx}", "w") as fh:
+                fh.write("".join(chunks))
 
-    win_iter = windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos, g_end)
+    win_iter = enumerate(windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos, g_end))
+    if n_hosts > 1:
+        win_iter = ((i, w) for i, w in win_iter if i % n_hosts == host_id)
     n_threads = max(1, int(getattr(cfg, "nThreads", 1) or 1))
     if n_threads == 1:
-        for tid, lpos, lend in win_iter:
-            drain(process_window(tid, lpos, lend))
+        for i, (tid, lpos, lend) in win_iter:
+            drain(i, process_window(tid, lpos, lend))
     else:
         from concurrent.futures import ThreadPoolExecutor
         from collections import deque
 
         with ThreadPoolExecutor(max_workers=n_threads) as pool:
             inflight = deque()
-            for w in win_iter:
+            for i, w in win_iter:
                 while len(inflight) >= 2 * n_threads:
-                    drain(inflight.popleft().result())
-                inflight.append(pool.submit(process_window, *w))
+                    j, fut = inflight.popleft()
+                    drain(j, fut.result())
+                inflight.append((i, pool.submit(process_window, *w)))
             while inflight:
-                drain(inflight.popleft().result())
+                j, fut = inflight.popleft()
+                drain(j, fut.result())
+    if n_hosts > 1:
+        for s in out_streams:
+            if s is not None:
+                s.flush()
+        from ..parallel.distributed import barrier_and_merge
+
+        barrier_and_merge([p for p in dict.fromkeys(out_paths) if p])
     STATS.report()
     return n_variant_positions

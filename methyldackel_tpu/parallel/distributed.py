@@ -65,3 +65,85 @@ def merge_host_outputs(prefix: str, out_path: str, num_processes: int,
                 with open(shard) as fh:
                     out.write(fh.read())
                 os.unlink(shard)
+
+
+def host_role() -> tuple[int, int]:
+    """(host_id, n_hosts) for this process. MDTPU_NUM_HOSTS/MDTPU_HOST_ID
+    simulate a multi-host job from independent processes (each owning its
+    window residue class); JAX_COORDINATOR_ADDRESS initializes a real
+    jax.distributed job."""
+    n = os.environ.get("MDTPU_NUM_HOSTS")
+    if n:
+        return int(os.environ.get("MDTPU_HOST_ID", "0")), int(n)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return init_distributed()
+    return 0, 1
+
+
+def merge_shards(out_path: str) -> int:
+    """Append every `{out_path}.h{h}.w{i}` shard to out_path in window
+    order (the multi-host analogue of the reference's ticket-ordered flush,
+    extract.c:514-535) and remove the shards. Returns #shards merged.
+
+    Window ownership is a static residue class per host, so shard names
+    never collide and the merged bytes are identical to a single-host run
+    for any host count."""
+    import glob
+    import re
+
+    shards = []
+    for p in glob.glob(glob.escape(out_path) + ".h*.w*"):
+        m = re.search(r"\.h(\d+)\.w(\d+)$", p)
+        if m:
+            shards.append((int(m.group(2)), p))
+    shards.sort()
+    with open(out_path, "a") as out:
+        for _, p in shards:
+            with open(p) as fh:
+                out.write(fh.read())
+            os.unlink(p)
+    return len(shards)
+
+
+def barrier_and_merge(out_paths) -> None:
+    """In a live jax.distributed job: block until every host finished its
+    windows, then host 0 merges all shards. No-op otherwise (env-simulated
+    hosts are independent processes; the caller merges explicitly)."""
+    try:
+        import jax
+
+        client = jax._src.distributed.global_state.client
+    except Exception:
+        client = None
+    if client is None:
+        return
+    import jax
+
+    # A tiny global psum doubles as the barrier.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("mdtpu_extract_shards")
+    if jax.process_index() == 0:
+        for p in out_paths:
+            if p:
+                merge_shards(p)
+    multihost_utils.sync_global_devices("mdtpu_extract_merged")
+
+
+def _main(argv):
+    """`python -m methyldackel_tpu.parallel.distributed merge-shards PATH...`
+    finalizes an env-simulated multi-host run after every host exits."""
+    if len(argv) >= 2 and argv[0] == "merge-shards":
+        for p in argv[1:]:
+            n = merge_shards(p)
+            print(f"merged {n} shards into {p}")
+        return 0
+    print("usage: python -m methyldackel_tpu.parallel.distributed "
+          "merge-shards <out_path>...")
+    return 1
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(_main(sys.argv[1:]))
