@@ -9,6 +9,7 @@ Deliberately no mate-overlap arbitration (MBias.c:160).
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -98,7 +99,14 @@ def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
             lpos, lend, keep_ctx, cfg.minPhred, wl,
         )
 
+    # Multi-host: host h computes the counter sum over its window residue
+    # class; the cross-host merge is the same associative add (the DCN form
+    # of the reference's per-thread strandMeth merge, MBias.c:541-552).
+    host_id = int(getattr(cfg, "hostId", 0) or 0)
+    n_hosts = max(1, int(getattr(cfg, "nHosts", 1) or 1))
     win_iter = windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos, g_end)
+    if n_hosts > 1:
+        win_iter = (w for i, w in enumerate(win_iter) if i % n_hosts == host_id)
     n_threads = max(1, int(getattr(cfg, "nThreads", 1) or 1))
     if n_threads == 1:
         for w in win_iter:
@@ -284,10 +292,66 @@ def mbias_main(argv) -> int:
             return 1
         sys.stderr.write(f"Parsed {cfg.bed.n} regions in {cfg.bedName}\n")
 
-    counters = compute_mbias(cfg, bam, fasta, g_tid, g_pos, g_end)
+    from ..parallel.distributed import host_role
+
+    host_id, n_hosts = host_role()
+    shard_base = (opref or cfg.BAMName) + ".mbias_counters"
+    if os.environ.get("MDTPU_MBIAS_FINALIZE"):
+        # Finalize an env-simulated multi-host run: rerun the same command
+        # with MDTPU_MBIAS_FINALIZE=1 once every host has written its
+        # counter shard — the full option context is on the command line.
+        counters = _sum_counter_shards(shard_base)
+        if counters is None:
+            sys.stderr.write(f"No counter shards found at {shard_base}.h*.npy\n")
+            return 1
+    else:
+        cfg.hostId, cfg.nHosts = host_id, n_hosts
+        counters = compute_mbias(cfg, bam, fasta, g_tid, g_pos, g_end)
+        if n_hosts > 1:
+            np.save(f"{shard_base}.h{host_id}.npy", counters)
+            from ..parallel.distributed import barrier_and_merge
+
+            try:
+                import jax
+
+                live = jax._src.distributed.global_state.client is not None
+            except Exception:
+                live = False
+            if not live:
+                sys.stderr.write(
+                    f"host {host_id}/{n_hosts}: wrote {shard_base}.h{host_id}.npy; "
+                    "rerun with MDTPU_MBIAS_FINALIZE=1 to merge and render\n"
+                )
+                return 0
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("mdtpu_mbias_shards")
+            if host_id != 0:
+                return 0
+            counters = _sum_counter_shards(shard_base)
     meths = counters_to_strandmeths(counters)
     if SVG:
         svg.make_svgs(opref, meths, cfg.keepCpG + 2 * cfg.keepCHG + 4 * cfg.keepCHH)
     if txt:
         svg.make_txt(meths)
     return 0
+
+
+def _sum_counter_shards(shard_base: str):
+    """Sum every {shard_base}.h*.npy counter shard (growing to the longest
+    cycle axis) and remove them. Returns None if no shards exist."""
+    import glob
+
+    paths = sorted(glob.glob(glob.escape(shard_base) + ".h*.npy"))
+    if not paths:
+        return None
+    total = np.zeros((4, 2, 2, 0), dtype=np.uint64)
+    for p in paths:
+        c = np.load(p)
+        if c.shape[3] > total.shape[3]:
+            grown = np.zeros(total.shape[:3] + (c.shape[3],), dtype=np.uint64)
+            grown[..., : total.shape[3]] = total
+            total = grown
+        total[..., : c.shape[3]] += c.astype(np.uint64)
+        os.unlink(p)
+    return total

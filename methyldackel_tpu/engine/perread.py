@@ -231,31 +231,50 @@ def run_perread(cfg, out) -> None:
     # perRead's scheduler claims windows WITHOUT the CpG/CHG boundary
     # adjustment (perRead.c:133-156 has no adjustBounds call); with -@ > 1
     # windows run on a thread pool and drain in genome order (the
-    # ticket-ordered flush, perRead.c:201-212).
-    win_iter = windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos, g_end,
-                       adjust=False)
+    # ticket-ordered flush, perRead.c:201-212). With multiple hosts, host h
+    # owns windows w % n == h and rows land in per-window shard files
+    # (parallel/distributed.py merge_shards reassembles in window order).
+    host_id = int(getattr(cfg, "hostId", 0) or 0)
+    n_hosts = max(1, int(getattr(cfg, "nHosts", 1) or 1))
+    out_path = getattr(cfg, "out_path", None)
+
+    def emit(widx, lines):
+        if not lines:
+            return
+        if n_hosts == 1:
+            out.write("".join(lines))
+        else:
+            with open(f"{out_path}.h{host_id}.w{widx}", "w") as fh:
+                fh.write("".join(lines))
+
+    win_iter = enumerate(windows(hdr, fasta, cfg.chunkSize, g_tid, g_pos,
+                                 g_end, adjust=False))
+    if n_hosts > 1:
+        win_iter = ((i, w) for i, w in win_iter if i % n_hosts == host_id)
     n_threads = max(1, int(getattr(cfg, "nThreads", 1) or 1))
     if n_threads == 1:
-        for w in win_iter:
-            lines = process_window(*w)
-            if lines:
-                out.write("".join(lines))
+        for i, w in win_iter:
+            emit(i, process_window(*w))
     else:
         from concurrent.futures import ThreadPoolExecutor
         from collections import deque
 
         with ThreadPoolExecutor(max_workers=n_threads) as pool:
             inflight = deque()
-            for w in win_iter:
+            for i, w in win_iter:
                 while len(inflight) >= 2 * n_threads:
-                    lines = inflight.popleft().result()
-                    if lines:
-                        out.write("".join(lines))
-                inflight.append(pool.submit(process_window, *w))
+                    j, fut = inflight.popleft()
+                    emit(j, fut.result())
+                inflight.append((i, pool.submit(process_window, *w)))
             while inflight:
-                lines = inflight.popleft().result()
-                if lines:
-                    out.write("".join(lines))
+                j, fut = inflight.popleft()
+                emit(j, fut.result())
+    if n_hosts > 1:
+        if out is not None:
+            out.flush()
+        from ..parallel.distributed import barrier_and_merge
+
+        barrier_and_merge([out_path])
 
 
 _PERREAD_LOPTS = [
@@ -279,6 +298,7 @@ def perread_main(argv) -> int:
 
     cfg = perread_defaults()
     ofile = None
+    oname = None
     try:
         opts, pos = getopt_long(argv, "hvq:p:o:@:r:l:F:R:", _PERREAD_LOPTS)
     except GetoptError as e:
@@ -293,11 +313,7 @@ def perread_main(argv) -> int:
             print_version()
             return 0
         elif key == "o":
-            try:
-                ofile = open(val, "w")
-            except OSError:
-                sys.stderr.write(f"Couldn't open {val} for writing\n")
-                return 2
+            oname = val
         elif key == "q":
             cfg.minMapq = c_atoi(val)
         elif key == "p":
@@ -342,7 +358,20 @@ def perread_main(argv) -> int:
 
     cfg.FastaName = pos[0]
     cfg.BAMName = pos[1]
-    out = ofile or sys.stdout
+    from ..parallel.distributed import host_role
+
+    cfg.hostId, cfg.nHosts = host_role()
+    cfg.out_path = oname
+    if cfg.nHosts > 1 and oname is None:
+        sys.stderr.write("Multi-host perRead requires -o (stdout cannot be sharded)\n")
+        return 1
+    if oname is not None and (cfg.nHosts == 1 or cfg.hostId == 0):
+        try:
+            ofile = open(oname, "w")
+        except OSError:
+            sys.stderr.write(f"Couldn't open {oname} for writing\n")
+            return 2
+    out = ofile if oname is not None else sys.stdout
     run_perread(cfg, out)
     if ofile:
         ofile.close()

@@ -113,6 +113,59 @@ def test_multihost_cytosine_report(tmp_path):
     assert a == b
 
 
+def test_multihost_perread(tmp_path):
+    _make_input(tmp_path)
+    single = tmp_path / "single"
+    single.mkdir()
+    r = md(["perRead", "--chunkSize", "50", "-q", "0", "-p", "1",
+            "-o", "pr.txt", "../g.fa", "../r.bam"], single)
+    assert r.returncode == 0, r.stderr
+    d = tmp_path / "hosts3"
+    d.mkdir()
+    for h in range(3):
+        r = md(["perRead", "--chunkSize", "50", "-q", "0", "-p", "1",
+                "-o", "pr.txt", "../g.fa", "../r.bam"], d,
+               MDTPU_NUM_HOSTS="3", MDTPU_HOST_ID=str(h))
+        assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "methyldackel_tpu.parallel.distributed",
+         "merge-shards", "pr.txt"], cwd=d, env=ENV,
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    a = (single / "pr.txt").read_bytes()
+    assert a and a == (d / "pr.txt").read_bytes()
+
+
+def test_multihost_perread_requires_o(tmp_path):
+    _make_input(tmp_path)
+    r = md(["perRead", "../g.fa", "../r.bam"], tmp_path,
+           MDTPU_NUM_HOSTS="2", MDTPU_HOST_ID="0")
+    assert r.returncode != 0
+    assert "requires -o" in r.stderr
+
+
+def test_multihost_mbias(tmp_path):
+    _make_input(tmp_path)
+    single = tmp_path / "single"
+    single.mkdir()
+    r = md(["mbias", "--txt", "--noSVG", "--chunkSize", "50", "-q", "0",
+            "-p", "1", "../g.fa", "../r.bam"], single)
+    assert r.returncode == 0, r.stderr
+    d = tmp_path / "hosts2"
+    d.mkdir()
+    for h in range(2):
+        rh = md(["mbias", "--txt", "--noSVG", "--chunkSize", "50", "-q", "0",
+                 "-p", "1", "../g.fa", "../r.bam"], d,
+                MDTPU_NUM_HOSTS="2", MDTPU_HOST_ID=str(h))
+        assert rh.returncode == 0, rh.stderr
+        assert rh.stdout == ""  # no rendering until finalize
+    rf = md(["mbias", "--txt", "--noSVG", "--chunkSize", "50", "-q", "0",
+             "-p", "1", "../g.fa", "../r.bam"], d, MDTPU_MBIAS_FINALIZE="1")
+    assert rf.returncode == 0, rf.stderr
+    assert rf.stdout == r.stdout
+    assert not list(d.glob("*.npy"))
+
+
 def test_multihost_nonzero_host_writes_no_final_files(tmp_path):
     _make_input(tmp_path)
     d = tmp_path / "h1only"
