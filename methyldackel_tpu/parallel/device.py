@@ -463,6 +463,17 @@ def _rows_gapless(refpos, pos, l_qseq):
     return np.where(lq > 0, first_ok & last_ok & ~any_gap, True)
 
 
+def _rows_no_eq_base(seq, l_qseq):
+    """Rows free of base code 0 ('=', match-to-reference). The prealigned
+    Pallas layout uses base code 0 as its padding sentinel, so '=' rows
+    (legal BAM, though no bisulfite aligner emits them) ride the exact XLA
+    dense subpath instead, which keys on refpos validity."""
+    L = seq.shape[1]
+    col = np.arange(L, dtype=np.int64)[None, :]
+    lq = np.asarray(l_qseq, np.int64)[:, None]
+    return ~((seq == 0) & (col < lq)).any(axis=1)
+
+
 def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
                                  win_offset, win_start, win_end, rstrand=None,
                                  interpret=False):
@@ -493,7 +504,7 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
     st = strand_arr[kidx].astype(np.int32)
     flag = batch.flag[kidx].astype(np.uint16)
 
-    simple = _rows_gapless(refpos, pos, lq)
+    simple = _rows_gapless(refpos, pos, lq) & _rows_no_eq_base(seq, lq)
     a_np, b_np = sem.pair_mates([batch.qname[i] for i in kidx], flag)
     pair_simple = np.ones(len(a_np), bool)
     if len(a_np):

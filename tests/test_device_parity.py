@@ -215,3 +215,33 @@ def test_hybrid_fast_backend_matches_host(monkeypatch):
     backend = make_device_backend(cfg)
     got = backend(cfg, copy.deepcopy(batch), st, keep, ref_ascii, 0, 0, W)
     np.testing.assert_array_equal(host, got)
+
+
+def test_eq_base_code_routes_exact(monkeypatch):
+    """Base code 0 ('=': match-to-reference, legal BAM) is the padding
+    sentinel of the prealigned Pallas layout; rows containing it must route
+    through the exact XLA dense subpath and still match the host engine."""
+    monkeypatch.setenv("MDTPU_PALLAS_INTERPRET", "1")
+    from methyldackel_tpu.engine.extract import compute_window_counters_host
+    from methyldackel_tpu.parallel.device import make_device_backend, _rows_no_eq_base
+    from methyldackel_tpu.utils.simulate import simulate_batch_fast
+    import copy
+
+    cfg = Config()
+    rng = np.random.default_rng(23)
+    ref_ascii, ref_codes = random_reference(rng, 6000)
+    batch = simulate_batch_fast(rng, ref_codes, 60, 100)
+    # inject '=' into a few gapless reads (both overlap and pileup columns)
+    batch.seq[4, 10:20] = 0
+    batch.seq[5, 0:5] = 0
+    batch.seq[20, 50] = 0
+    assert not _rows_no_eq_base(batch.seq, batch.l_qseq)[[4, 5, 20]].any()
+    st = sem.strand(batch.flag, batch.xg)
+    keep = np.ones(batch.n, bool)
+    W = 5632
+
+    host = compute_window_counters_host(cfg, copy.deepcopy(batch), st, keep,
+                                        ref_ascii, 0, 0, W)
+    backend = make_device_backend(cfg)
+    got = backend(cfg, copy.deepcopy(batch), st, keep, ref_ascii, 0, 0, W)
+    np.testing.assert_array_equal(host, got)
