@@ -108,17 +108,19 @@ def _kernel(srtk_ref, cntk_ref, seq_hbm, qual_hbm, out_ref,
         rowid = jax.lax.broadcasted_iota(jnp.int32, (GMAX, 1), 0)
         rowmask = ((rowid >= rem) & (rowid < rem + gcnt)).astype(jnp.int32)
         passing = (q >= min_phred).astype(jnp.int32) * rowmask  # [GMAX, LP2]
+        # Parity packed into bit 16: one reduction yields odd count (high
+        # half) and total (low half) at once — halves the reduction passes.
+        # Group counts are bounded by GMAX ≤ 4096, so no carry between
+        # halves and no i32 overflow (4096 + 4096<<16 < 2^31).
+        enc = passing * (1 + (odd_i << 16))
 
-        def counts(cond):
-            tot = jnp.sum(cond, axis=0, keepdims=True)
-            o = jnp.sum(cond * odd_i, axis=0, keepdims=True)
-            return o, tot - o
-
-        rows = [counts(passing)]  # total
+        rows = [jnp.sum(enc, axis=0, keepdims=True)]  # total
         for code in (BASE_A, BASE_C, BASE_G, BASE_T, BASE_N):
-            rows.append(counts(passing * (s == code).astype(jnp.int32)))
-        odd_block = jnp.concatenate([r[0] for r in rows], axis=0)   # [6, LP2]
-        even_block = jnp.concatenate([r[1] for r in rows], axis=0)  # [6, LP2]
+            rows.append(jnp.sum(enc * (s == code).astype(jnp.int32),
+                                axis=0, keepdims=True))
+        packed = jnp.concatenate(rows, axis=0)       # [6, LP2]
+        odd_block = packed >> 16
+        even_block = (packed & 0xFFFF) - odd_block
         zero = jnp.zeros((4, LP2), jnp.int32)
         chan = jnp.concatenate([odd_block, even_block, zero], axis=0)
 
@@ -134,6 +136,7 @@ def _kernel(srtk_ref, cntk_ref, seq_hbm, qual_hbm, out_ref,
 )
 def _pileup_tiles(srtk, cntk, seq, qual, *, ntiles, T, HALO_L, LP, LP2, K,
                   GMAX, min_phred):
+    assert GMAX <= 0xFFFF, "parity packing needs group counts < 2^16"
     tplus = T + HALO_L + LP2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -168,8 +171,15 @@ def counts_to_channels(counts, ref_window, win_offset_rel, W):
     kernel — no transpose on the hot path)."""
     counts = jnp.asarray(counts)  # [16, W]
     ref = jnp.asarray(ref_window)
-    idx = jnp.arange(W) - win_offset_rel
-    refb = jnp.where((idx >= 0) & (idx < ref.shape[0]), ref[jnp.clip(idx, 0, ref.shape[0] - 1)], 0)
+    # refb[i] = ref[i - win_offset_rel] (0 outside) — the index map is
+    # contiguous, so a dynamic_slice of a zero-padded ref replaces a
+    # W-element gather (6x on TPU: the gather ran at ~5 GB/s). PAD bounds
+    # |win_offset_rel|: the engine fetches ref from win_start-2, so the
+    # offset is a small negative number (extract.c:379-381's localPos2-2).
+    PAD = 512
+    padded = jnp.concatenate([jnp.zeros(PAD, ref.dtype), ref,
+                              jnp.zeros(W + PAD, ref.dtype)])
+    refb = jax.lax.dynamic_slice(padded, (PAD - win_offset_rel,), (W,))
     odd = counts[0:6]
     even = counts[6:12]
     is_c = refb == REF_C
