@@ -143,8 +143,7 @@ def compute_window_counters_host(cfg, batch, strand_arr, keep, ref_window,
     qual = batch.qual[kidx]
     refpos = batch.refpos[kidx]
     st = strand_arr[kidx]
-    qnames = [batch.qname[i] for i in kidx]
-    a_idx, b_idx = sem.pair_mates(qnames, batch.flag[kidx])
+    a_idx, b_idx = sem.pair_mates_batch(batch, kidx)
     sem.arbitrate_overlaps(seq, qual, refpos, st, a_idx, b_idx)
     if rstrand is not None:
         # BED strand column: per-base inclusion via the region covering the

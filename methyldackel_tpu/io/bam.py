@@ -67,6 +67,7 @@ class ReadBatch:
     seq: np.ndarray        # [N, L] uint8 4-bit codes, 0 beyond l_qseq
     qual: np.ndarray       # [N, L] uint8, 0 beyond l_qseq
     refpos: np.ndarray     # [N, L] int32, -1 for I/S bases, -2 beyond l_qseq
+    qname_hash: np.ndarray | None = None  # [N] uint64 (see qname_hashes)
 
     @property
     def n(self) -> int:
@@ -91,6 +92,21 @@ class AlignmentSoA:
         # equal positions, matching the htslib iterator's delivery order).
         key = self.tid.astype(np.int64) * (1 << 40) + self.pos
         self.order = np.argsort(key, kind="stable")
+
+    def qname_hashes(self) -> np.ndarray:
+        """Cached per-read uint64 qname hash (vectorized over the native
+        blob; Python-hash fallback for list-backed decodes). Used by the
+        mate-pairing fast path; collisions are verified byte-exactly there."""
+        cached = getattr(self, "_qname_hash_all", None)
+        if cached is None:
+            qn = self.qname
+            if isinstance(qn, QnameView):
+                cached = qn.hashes()
+            else:
+                cached = np.fromiter((hash(q) for q in qn), np.int64,
+                                     len(qn)).astype(np.uint64)
+            self._qname_hash_all = cached
+        return cached
 
 
     @property
@@ -142,7 +158,8 @@ class AlignmentSoA:
             qual = np.zeros((nreads, L), dtype=np.uint8)
             refpos = np.full((nreads, L), -2, dtype=np.int32)
         return ReadBatch(
-            qname=[self.qname[i] for i in idx],
+            qname=QnameSubset(self.qname, idx),
+            qname_hash=self.qname_hashes()[idx],
             flag=self.flag[idx],
             tid=self.tid[idx],
             pos=self.pos[idx],
@@ -423,17 +440,95 @@ class StreamingBamFile:
 
 class QnameView:
     """Lazy read-name accessor over the native decoder's blob (avoids
-    materializing millions of Python strings up front)."""
+    materializing millions of Python strings up front). Also provides the
+    vectorized name hashing/equality the mate-pairing fast path uses
+    (ops.semantics.pair_mates): no Python string ever materializes on the
+    per-window hot path."""
 
     def __init__(self, blob: bytes, offsets: np.ndarray):
         self._blob = blob
-        self._off = offsets
+        self._off = np.asarray(offsets, dtype=np.int64)
+        self._arr = np.frombuffer(blob, dtype=np.uint8)
+        self._hashes = None
 
     def __len__(self) -> int:
         return len(self._off) - 1
 
     def __getitem__(self, i: int) -> str:
         return self._blob[self._off[i] : self._off[i + 1] - 1].decode()
+
+    def padded(self, rows: np.ndarray):
+        """[len(rows), maxlen] zero-padded name bytes + name lengths.
+        Names cannot contain NUL, so (bytes, length) identifies a name."""
+        rows = np.asarray(rows, dtype=np.int64)
+        starts = self._off[rows]
+        lens = self._off[rows + 1] - starts - 1  # strip the trailing NUL
+        m = int(lens.max()) if len(lens) else 0
+        col = np.arange(m, dtype=np.int64)[None, :]
+        valid = col < lens[:, None]
+        # add+clip then mask: dramatically cheaper than np.where on the
+        # broadcast int64 index (the clamp only redirects masked lanes).
+        src = starts[:, None] + col
+        np.minimum(src, self._arr.size - 1, out=src)
+        return np.where(valid, self._arr[src], 0), lens
+
+    def hashes(self) -> np.ndarray:
+        """Per-name uint64 FNV-1a (length-mixed), one column pass per name
+        byte — the whole file hashes in a handful of [N]-vector ops."""
+        if self._hashes is None:
+            n = len(self)
+            if n == 0:
+                self._hashes = np.zeros(0, np.uint64)
+                return self._hashes
+            padded, lens = self.padded(np.arange(n, dtype=np.int64))
+            h = np.full(n, 0xCBF29CE484222325, np.uint64)
+            prime = np.uint64(0x100000001B3)
+            for c in range(padded.shape[1]):
+                h = (h ^ padded[:, c].astype(np.uint64)) * prime
+            self._hashes = (h ^ lens.astype(np.uint64)) * prime
+        return self._hashes
+
+    def verify_equal(self, a_rows, b_rows) -> np.ndarray:
+        """Vectorized byte equality of name pairs (collision check for the
+        hash-grouped mate pairing)."""
+        pa, la = self.padded(a_rows)
+        pb, lb = self.padded(b_rows)
+        w = max(pa.shape[1], pb.shape[1])
+        if pa.shape[1] != w:
+            pa = np.pad(pa, ((0, 0), (0, w - pa.shape[1])))
+        if pb.shape[1] != w:
+            pb = np.pad(pb, ((0, 0), (0, w - pb.shape[1])))
+        return (la == lb) & (pa == pb).all(axis=1)
+
+
+class QnameSubset:
+    """Row-subset view over a parent qname container (QnameView or list),
+    preserving lazy access plus the vectorized pair-verify hook."""
+
+    def __init__(self, parent, idx: np.ndarray):
+        self._parent = parent
+        self._idx = np.asarray(idx, dtype=np.int64)
+
+    def __len__(self) -> int:
+        return len(self._idx)
+
+    def __getitem__(self, i):
+        if isinstance(i, (int, np.integer)):
+            return self._parent[int(self._idx[i])]
+        return QnameSubset(self._parent, self._idx[np.asarray(i)])
+
+    def __iter__(self):
+        for r in self._idx:
+            yield self._parent[int(r)]
+
+    def verify_equal(self, a, b) -> np.ndarray:
+        ra = self._idx[np.asarray(a, dtype=np.int64)]
+        rb = self._idx[np.asarray(b, dtype=np.int64)]
+        p = self._parent
+        if isinstance(p, QnameView):
+            return p.verify_equal(ra, rb)
+        return np.array([p[int(x)] == p[int(y)] for x, y in zip(ra, rb)],
+                        dtype=bool)
 
 
 def _nibble_lut() -> np.ndarray:

@@ -71,9 +71,11 @@ def quantize(raw: np.ndarray) -> np.ndarray:
     """bigWig float → 0-100 integer, matching (char)((v*100)+0.5) with NaN→0
     (extract.c:1138-1144)."""
     v = np.asarray(raw, dtype=np.float64)
-    out = (v * 100 + 0.5).astype(np.int64)
-    out[np.isnan(v)] = 0
-    return out.astype(np.uint8)
+    # NaN (uncovered bases) → 0 BEFORE the int cast: casting NaN to int is
+    # platform-defined in numpy (and warns); the C's (char)((nan*100)+0.5)
+    # behavior the format relies on is "treated as 0" (extract.c:1138-1144).
+    v = np.where(np.isnan(v), 0.0, v)
+    return (v * 100 + 0.5).astype(np.int64).astype(np.uint8)
 
 
 def write_bbm(path: str, names, lengths, values) -> None:

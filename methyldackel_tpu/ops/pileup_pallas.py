@@ -136,7 +136,11 @@ def _kernel(srtk_ref, cntk_ref, seq_hbm, qual_hbm, out_ref,
 )
 def _pileup_tiles(srtk, cntk, seq, qual, *, ntiles, T, HALO_L, LP, LP2, K,
                   GMAX, min_phred):
-    assert GMAX <= 0xFFFF, "parity packing needs group counts < 2^16"
+    # Parity packing bound: a packed per-column sum can reach
+    # GMAX*(1 + 2^16), which must stay below 2^31 (int32) with no carry
+    # from the low half into the high half (low half < 2^16).
+    assert GMAX * (1 + (1 << 16)) < 2**31, (
+        "parity packing needs GMAX*(1+2^16) < 2^31")
     tplus = T + HALO_L + LP2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -177,6 +181,13 @@ def counts_to_channels(counts, ref_window, win_offset_rel, W):
     # |win_offset_rel|: the engine fetches ref from win_start-2, so the
     # offset is a small negative number (extract.c:379-381's localPos2-2).
     PAD = 512
+    if isinstance(win_offset_rel, int):
+        # dynamic_slice clamps out-of-range starts silently; offsets beyond
+        # the pad would silently misalign the reference. The engine fetches
+        # ref from win_start-2, so |offset| is tiny; guard the assumption
+        # whenever the offset is concrete (traced callers assert host-side
+        # in _fused_dispatch).
+        assert -(ref.shape[0] + PAD) <= win_offset_rel <= PAD, win_offset_rel
     padded = jnp.concatenate([jnp.zeros(PAD, ref.dtype), ref,
                               jnp.zeros(W + PAD, ref.dtype)])
     refb = jax.lax.dynamic_slice(padded, (PAD - win_offset_rel,), (W,))

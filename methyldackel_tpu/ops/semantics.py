@@ -189,12 +189,83 @@ def trim_absolute(seq, qual, l_qseq, strand_arr, flag, bounds16):
 
 # ------------------------------------------------------- overlap arbitration
 
-def pair_mates(qnames, flag, order=None):
+def pair_mates(qnames, flag, order=None, qname_hash=None):
     """Pair mate occurrences the way the pileup constructor does
     (overlaps.c:121-139): reads arrive in position-sorted order; the first
-    passing occurrence of a qname is stored, the second triggers arbitration.
+    passing occurrence of a qname is stored, the second triggers arbitration
+    (a 3rd occurrence re-enters the hash and pairs with a 4th, etc.).
     Unpaired reads and reads with self/mate unmapped (flag & 12) never enter
-    the hash. Returns (a_idx, b_idx) row-index arrays."""
+    the hash. Returns (a_idx, b_idx) row-index arrays, ordered by the second
+    occurrence — exactly the khash pop order.
+
+    With `qname_hash` (a per-row uint64 name hash, e.g. io.bam's blob FNV),
+    pairing is fully vectorized: group by hash keeping arrival order, pair
+    consecutive occurrences, then verify every formed pair's NAMES are
+    byte-equal (qnames.verify_equal when available). Any mismatch — a hash
+    collision that would change the pairing — falls back to the exact dict
+    loop, so the result is always identical to the khash semantics."""
+    if qname_hash is not None and len(qname_hash):
+        a, b = _pair_by_key(np.asarray(qname_hash), flag, order)
+        if len(a) == 0:
+            return a, b
+        verify = getattr(qnames, "verify_equal", None)
+        if verify is not None:
+            ok = bool(np.all(verify(a, b)))
+        else:
+            ok = all(qnames[int(x)] == qnames[int(y)] for x, y in zip(a, b))
+        if ok:
+            return a, b
+    return _pair_mates_loop(qnames, flag, order)
+
+
+def _pair_by_key(key, flag, order=None):
+    """Group eligible rows by an integer key (keeping arrival order within
+    each group) and pair consecutive occurrences. Equals the dict-loop
+    pairing whenever equal keys imply equal qnames (the caller verifies)."""
+    n = len(key)
+    empty = np.zeros(0, dtype=np.int64)
+    rows_in_order = (np.arange(n, dtype=np.int64) if order is None
+                     else np.asarray(order, np.int64))
+    f = np.asarray(flag).astype(np.int64)[rows_in_order]
+    elig = ((f & 0x1) != 0) & ((f & 12) == 0)
+    arrival = rows_in_order[elig]  # row ids, in arrival order
+    if len(arrival) < 2:
+        return empty, empty
+    _, inv = np.unique(key[arrival], return_inverse=True)
+    # Stable sort by group: within a group, arrival order is preserved.
+    by_group = np.argsort(inv, kind="stable")
+    g = inv[by_group]
+    r = arrival[by_group]
+    new_group = np.empty(len(g), dtype=bool)
+    new_group[0] = True
+    new_group[1:] = g[1:] != g[:-1]
+    group_start = np.nonzero(new_group)[0]
+    occ = np.arange(len(g)) - np.repeat(group_start, np.diff(
+        np.r_[group_start, len(g)]))
+    b_pos = np.nonzero((occ & 1) == 1)[0]
+    a_rows = r[b_pos - 1]
+    b_rows = r[b_pos]
+    # The dict loop emits pairs in order of the SECOND occurrence; by_group
+    # maps sorted-frame positions back to arrival indices.
+    emit_order = np.argsort(by_group[b_pos], kind="stable")
+    return a_rows[emit_order], b_rows[emit_order]
+
+
+def pair_mates_batch(batch, kidx):
+    """pair_mates over a ReadBatch row subset, using the batch's vectorized
+    qname hashes when present (no Python string materialization)."""
+    qn = batch.qname
+    qh = getattr(batch, "qname_hash", None)
+    if hasattr(qn, "verify_equal"):
+        sub = qn[kidx]
+    else:
+        sub = [qn[int(i)] for i in kidx]
+    return pair_mates(sub, np.asarray(batch.flag)[kidx],
+                      qname_hash=None if qh is None else qh[kidx])
+
+
+def _pair_mates_loop(qnames, flag, order=None):
+    """Exact khash walk (overlaps.c:121-139); oracle for the hash path."""
     pending: dict[str, int] = {}
     a_list, b_list = [], []
     n = len(qnames)

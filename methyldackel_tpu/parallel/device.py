@@ -505,7 +505,7 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
     flag = batch.flag[kidx].astype(np.uint16)
 
     simple = _rows_gapless(refpos, pos, lq) & _rows_no_eq_base(seq, lq)
-    a_np, b_np = sem.pair_mates([batch.qname[i] for i in kidx], flag)
+    a_np, b_np = sem.pair_mates_batch(batch, kidx)
     pair_simple = np.ones(len(a_np), bool)
     if len(a_np):
         pair_simple = simple[a_np] & simple[b_np]
@@ -701,6 +701,10 @@ def _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag, a_np, b_np,
     pb_p[:P] = pb2
     code_p[:P] = code
 
+    # counts_to_channels' dynamic-slice epilogue only tolerates offsets
+    # within its ±PAD slack (pileup_pallas PAD=512); assert host-side since
+    # the offset is traced inside the fused program.
+    assert -512 <= woff_rel <= 512, woff_rel
     ref_static = wpad + 256
     ref_p = np.zeros(ref_static, np.uint8)
     seqlen = min(len(ref_window), ref_static)
@@ -854,7 +858,7 @@ def make_device_backend(cfg):
         xg = jnp.asarray(sub.xg[kidx])
         st = jnp.asarray(strand_arr[kidx].astype(np.int32))
         L = sub.seq.shape[1]
-        a_np, b_np = sem.pair_mates([sub.qname[i] for i in kidx], sub.flag[kidx])
+        a_np, b_np = sem.pair_mates_batch(sub, kidx)
         P = max(len(a_np), 1)
         pair_a = np.zeros(P, np.int32)
         pair_b = np.zeros(P, np.int32)
