@@ -31,10 +31,32 @@ def enable_persistent_cache():
         pass
 
 
+def _force_platform():
+    """MDTPU_FORCE_PLATFORM=cpu|tpu pins the JAX platform through the config
+    API (the axon plugin ignores the JAX_PLATFORMS env var, so subprocess
+    tests need this to run device engines on the virtual CPU mesh)."""
+    plat = os.environ.get("MDTPU_FORCE_PLATFORM")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 def select_backend(cfg):
     mode = os.environ.get("MDTPU_ENGINE", "auto")
     if mode == "host":
         return None
+    _force_platform()
+    if mode == "mesh":
+        # Multi-chip (dp, sp) shard_map engine: reads sharded over dp with
+        # psum-merged counters, window coordinates sharded over sp.
+        from .mesh import make_mesh_backend
+
+        enable_persistent_cache()
+        return make_mesh_backend(cfg)
     try:
         from .device import make_device_backend
     except Exception:
