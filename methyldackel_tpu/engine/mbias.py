@@ -37,6 +37,9 @@ def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
     # scan, so streaming inputs work too.
     counters = np.zeros((4, 2, 2, 0), dtype=np.uint64)
     keep_ctx = (cfg.keepCpG, cfg.keepCHG, cfg.keepCHH)
+    from ..parallel import select_mbias_backend
+
+    device_compute = select_mbias_backend(cfg)
 
     def grown(base, L):
         if L <= base.shape[3]:
@@ -94,6 +97,9 @@ def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
             keep_base &= (rs == 0) | ((rs == 1) & odd) | ((rs == 2) & ~odd)
 
         wl = int(batch.l_qseq[kidx].max())
+        if device_compute is not None:
+            return device_compute(seq, qual, refpos, st, flag, keep_base,
+                                  ref_window, lpos, lpos, lend, keep_ctx, wl)
         return sem.mbias_counters(
             seq, qual, refpos, st, flag, keep_base, ref_window, lpos,
             lpos, lend, keep_ctx, cfg.minPhred, wl,

@@ -113,11 +113,33 @@ class BigWigFile:
 
     def values(self, name: str) -> np.ndarray:
         """Per-base float32 values for a whole chromosome, NaN where uncovered
-        (bwGetValues with includeNA, extract.c:1123)."""
+        (bwGetValues with includeNA, extract.c:1123).
+
+        Reference-scale path: only this chromosome's leaf blocks are touched
+        (R-tree chrom-range prefilter), and every section's intervals are
+        filled with one vectorized run-expansion instead of a per-interval
+        Python loop — a whole-genome Bismap track loads in seconds."""
         idx = self.names.index(name)
         chrom_id = next(cid for cid, i in self._chrom_ids.items() if i == idx)
         out = np.full(self.lengths[idx], np.nan, dtype=np.float32)
         d = self._data
+        n_out = len(out)
+
+        def fill(starts, lens, vals):
+            """out[starts[i] : starts[i]+lens[i]] = vals[i], in order (later
+            intervals win), clamped to the chromosome."""
+            starts = starts.astype(np.int64)
+            lens = np.minimum(lens.astype(np.int64), n_out - starts)
+            keep = (lens > 0) & (starts >= 0) & (starts < n_out)
+            starts, lens, vals = starts[keep], lens[keep], vals[keep]
+            if not len(starts):
+                return
+            tot = int(lens.sum())
+            run0 = np.repeat(starts - np.concatenate(
+                [[0], np.cumsum(lens[:-1])]), lens)
+            pos = run0 + np.arange(tot, dtype=np.int64)
+            out[pos] = np.repeat(vals, lens)
+
         for s_ix, _sb, e_ix, off, size in self._blocks:
             if not (s_ix <= chrom_id <= e_ix):
                 continue
@@ -132,17 +154,14 @@ class BigWigFile:
             p = 24
             if typ == 1:  # bedGraph
                 arr = np.frombuffer(raw, dtype="<u4,<u4,<f4", count=count, offset=p)
-                for s, e, v in arr:
-                    out[s:e] = v
+                fill(arr["f0"], arr["f1"].astype(np.int64) - arr["f0"], arr["f2"])
             elif typ == 2:  # varStep
                 arr = np.frombuffer(raw, dtype="<u4,<f4", count=count, offset=p)
-                for s, v in arr:
-                    out[s : s + span] = v
+                fill(arr["f0"], np.full(count, span, np.int64), arr["f1"])
             elif typ == 3:  # fixedStep
                 vals = np.frombuffer(raw, dtype="<f4", count=count, offset=p)
-                for i, v in enumerate(vals):
-                    s = c_start + i * step
-                    out[s : s + span] = v
+                starts = c_start + np.arange(count, dtype=np.int64) * step
+                fill(starts, np.full(count, span, np.int64), vals)
             else:
                 raise ValueError(f"unknown bigWig section type {typ}")
         return out

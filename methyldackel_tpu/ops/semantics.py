@@ -505,31 +505,43 @@ def check_mappability(cfg, batch, mappability):
     assumed span (mate span approximated with this read's l_qseq) contains
     >= minMappableBases mappable bases. Spans starting at a negative
     coordinate (unmapped mate, mpos=-1) read as all-unmappable, matching the
-    uint32 wraparound in the C."""
+    uint32 wraparound in the C.
+
+    Vectorized: per-chromosome prefix sums (cached on cfg) turn each span
+    count into two lookups, so reference-scale tracks (whole human Bismap)
+    cost O(reads) instead of O(reads × read_len)."""
     out = np.zeros(batch.n, dtype=bool)
-    for i in range(batch.n):
-        tid = int(batch.tid[i])
-        name = cfg.chromNames_bam[tid] if hasattr(cfg, "chromNames_bam") else None
+    if cfg.minMappableBases <= 0:
+        # span counts are always >= 0, so every read passes (loop parity:
+        # `cnt >= minMappableBases` with cnt = 0 still increments ok)
+        out[:] = True
+        return out
+    cache = getattr(cfg, "_mapp_prefix_by_tid", None)
+    if cache is None:
+        cache = cfg._mapp_prefix_by_tid = {}
+    lq = np.asarray(batch.l_qseq, np.int64)
+    pos = np.asarray(batch.pos, np.int64)
+    mpos = np.asarray(batch.mpos, np.int64)
+    min_ok = cfg.minMappableBases
+    for tid in np.unique(np.asarray(batch.tid)):
+        tid = int(tid)
         bits = mappability.get(tid)
-        flag = int(batch.flag[i])
-        lq = int(batch.l_qseq[i])
-        left_is_this = bool(flag & 0x40) or ((flag & 0x10) and (flag & 0x80))
-        if left_is_this:
-            spans = [(int(batch.pos[i]), int(batch.pos[i]) + lq),
-                     (int(batch.mpos[i]), int(batch.mpos[i]) + lq)]
-        else:
-            spans = [(int(batch.mpos[i]), int(batch.mpos[i]) + lq),
-                     (int(batch.pos[i]), int(batch.pos[i]) + lq)]
-        ok = 0
-        for s, e in spans:
-            if bits is None or s < 0:
-                cnt = 0
-            else:
-                s0, e0 = max(s, 0), min(e, len(bits))
-                cnt = int(bits[s0:e0].sum()) if e0 > s0 else 0
-            if cnt >= cfg.minMappableBases:
-                ok += 1
-        out[i] = ok > 0
+        if bits is None:
+            continue  # both spans count 0 → filtered (out stays False)
+        pref = cache.get(tid)
+        if pref is None:
+            pref = cache[tid] = np.concatenate(
+                [[0], np.cumsum(bits, dtype=np.int64)])
+        rows = np.nonzero(np.asarray(batch.tid) == tid)[0]
+        L = len(bits)
+
+        def span_count(s):
+            e0 = np.clip(s + lq[rows], 0, L)
+            s0 = np.clip(s, 0, L)
+            return np.where(s < 0, 0, pref[e0] - pref[np.minimum(s0, e0)])
+
+        out[rows] = (span_count(pos[rows]) >= min_ok) | (
+            span_count(mpos[rows]) >= min_ok)
     return out
 
 

@@ -77,3 +77,33 @@ def select_backend(cfg):
         enable_persistent_cache()
         return make_device_backend(cfg)
     return None
+
+
+def select_mbias_backend(cfg):
+    """Device compute for the mbias counter tensor (None → host numpy).
+    Same engine selection surface as extract: MDTPU_ENGINE=jax|mesh force
+    the device path (mesh uses the same per-window kernel; the counter
+    merge is already an associative add across windows/hosts)."""
+    mode = os.environ.get("MDTPU_ENGINE", "auto")
+    if mode == "host":
+        return None
+    try:
+        from .device import make_mbias_backend
+    except Exception:
+        if mode in ("jax", "mesh"):
+            raise
+        return None
+    _force_platform()
+    if mode in ("jax", "mesh"):
+        enable_persistent_cache()
+        return make_mbias_backend(cfg)
+    try:
+        import jax
+
+        platform = jax.devices()[0].platform
+    except Exception:
+        return None
+    if platform in ("tpu", "axon"):
+        enable_persistent_cache()
+        return make_mbias_backend(cfg)
+    return None

@@ -246,6 +246,92 @@ def pileup_device(seq, qual, refpos, strand, keep_read, keep_base, ref,
     return counters[:wpad]
 
 
+@functools.partial(jax.jit, static_argnames=("keep_ctx", "min_phred"))
+def mbias_device(seq, qual, refpos, strand, flag, keep_base, ref,
+                 win_offset, win_start, win_end, *, keep_ctx, min_phred):
+    """extractMBias counter loop (MBias.c:180-214) as a scatter-free device
+    program: the read-cycle axis IS the column axis, so the [4 strands,
+    2 reads, 2 states, L] counters are 16 masked row-reductions over the
+    [N, L] call tensors — no scatter-add at all (psum-able across shards,
+    the TPU-shaped form of the per-thread strandMeth merge, MBias.c:541-552).
+    Bit-equal to ops.semantics.mbias_counters (tests/test_mbias_device.py).
+    Deliberately no overlap arbitration (MBias.c:160)."""
+    n = ref.shape[0]
+    ctype = classify_context_device(ref)
+    valid = (refpos >= win_start) & (refpos < win_end) & keep_base
+    widx = jnp.where(valid, refpos - win_offset, 0)
+    inref = valid & (widx < n)
+    widx = jnp.where(inref, widx, 0)
+    ct = jnp.where(inref, ctype[widx], jnp.int8(3))
+    ctx_ok = jnp.zeros(ct.shape, dtype=bool)
+    for t, k in ((0, keep_ctx[0]), (1, keep_ctx[1]), (2, keep_ctx[2])):
+        if k:
+            ctx_ok |= ct == t
+    refbase = jnp.where(inref, ref[widx], 0)
+    sodd = (strand.astype(jnp.int32) & 1)[:, None] == 1
+    calling = jnp.where(sodd, refbase == REF_C, refbase == REF_G)
+    state = meth_state_device(seq, qual, strand, min_phred)
+    use = valid & ctx_ok & calling & (state != 0)
+    s_idx = (strand.astype(jnp.int32) - 1)[:, None]
+    r_idx = ((flag.astype(jnp.int32) & 0x80) != 0).astype(jnp.int32)[:, None]
+    m_idx = (state < 0).astype(jnp.int32)
+    combo = (s_idx * 2 + r_idx) * 2 + m_idx  # [N, L] in 0..15
+    rows = [jnp.sum((use & (combo == c)).astype(jnp.uint32), axis=0)
+            for c in range(16)]
+    return jnp.stack(rows, axis=0).reshape(4, 2, 2, seq.shape[1])
+
+
+def make_mbias_backend(cfg):
+    """Device compute for engine.mbias.process_window: same inputs/outputs
+    as sem.mbias_counters, shape-bucketed (rows/width/ref to powers of two)
+    so every window reuses one compiled program."""
+    min_phred = int(cfg.minPhred)
+
+    def compute(seq, qual, refpos, strand_arr, flag, keep_base, ref_window,
+                win_offset, win_start, win_end, keep_ctx, max_len):
+        n, L = seq.shape
+        if n == 0:
+            return np.zeros((4, 2, 2, max_len), dtype=np.uint32)
+        Nb = 256
+        while Nb < n:
+            Nb *= 2
+        Lb = 32
+        while Lb < L:
+            Lb *= 2
+        ref_static = _round_up(max(int(cfg.chunkSize) + 16, len(ref_window)),
+                               4096)
+        # End-padding with 0 preserves the C's truncated-context semantics:
+        # byte 0 is neither C nor G, so CpG/CHG degrade to CHH exactly as a
+        # short fetch would (common.c:49-82).
+        ref_p = np.zeros(ref_static, np.uint8)
+        ref_p[: len(ref_window)] = ref_window
+
+        def padr(x, fill=0):
+            out = np.full((Nb, Lb) if x.ndim == 2 else (Nb,), fill, x.dtype)
+            if x.ndim == 2:
+                out[:n, :L] = x
+            else:
+                out[:n] = x
+            return out
+
+        out = mbias_device(
+            jnp.asarray(padr(seq)), jnp.asarray(padr(qual)),
+            jnp.asarray(padr(refpos.astype(np.int32), -2)),
+            jnp.asarray(padr(strand_arr.astype(np.int32), 1)),
+            jnp.asarray(padr(np.asarray(flag).astype(np.uint16))),
+            jnp.asarray(padr(keep_base, False)), jnp.asarray(ref_p),
+            jnp.int32(win_offset), jnp.int32(win_start), jnp.int32(win_end),
+            keep_ctx=tuple(bool(k) for k in keep_ctx), min_phred=min_phred)
+        out = np.asarray(jax.device_get(out))
+        if Lb >= max_len:
+            return out[..., :max_len]
+        grown = np.zeros((4, 2, 2, max_len), np.uint32)
+        grown[..., :Lb] = out
+        return grown
+
+    return compute
+
+
 def arbitrate_prealigned(seq_a, qual_a, aligned_pos, strand, flag, max_shift_blocks):
     """Mate-overlap arbitration for phase-aligned, gapless, adjacent-mate
     batches (the Pallas fast path's layout, ops.pileup_pallas.prealign_reads).
@@ -480,7 +566,12 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
     """Hybrid window compute: gapless mate pairs + singles go through the
     Pallas kernels (arbitration + tile pileup); reads with indels (or any
     pair containing one) take the exact XLA scatter path; BED strand-column
-    windows fall back entirely. Counter addition makes the split exact."""
+    windows fall back entirely. Counter addition makes the split exact.
+
+    Channel contract: with cfg.minOppositeDepth == 0 the packed readback
+    ships only channels [meth, unmeth] — channels 2-3 (opposite coverage /
+    variants) return ZERO because the emit path never reads them; with
+    minOppositeDepth > 0 all 4 channels come back exact."""
     from ..ops import semantics as sem
     from ..ops import pileup_pallas as pk
     from ..ops import arbitrate_pallas as ak

@@ -103,6 +103,115 @@ def simulate_batch(rng, ref_codes: np.ndarray, n_pairs: int, read_len: int,
     )
 
 
+def write_synthetic_input(dirpath, n_pairs: int, read_len: int, glen: int,
+                          seed: int = 0, chrom: str = "chrSim"):
+    """Write a coordinate-sorted synthetic WGBS BAM (+BAI) and its reference
+    FASTA (+fai) for CLI-scale benchmarks — fully vectorized record
+    serialization (n_pairs can be 500k+). Returns (fasta_path, bam_path)."""
+    import os
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(seed)
+    ref_ascii, ref_codes = random_reference(rng, glen)
+    batch = simulate_batch_fast(rng, ref_codes, n_pairs, read_len)
+    n = batch.n
+    L = read_len
+
+    # ---- FASTA (60-col lines)
+    width = 60
+    pad = (-glen) % width
+    body = np.concatenate([ref_ascii, np.zeros(pad, np.uint8)])
+    lines = body.reshape(-1, width)
+    out = np.full((lines.shape[0], width + 1), ord("\n"), np.uint8)
+    out[:, :width] = lines
+    fa_bytes = out.reshape(-1)
+    # strip padding of the final line
+    if pad:
+        fa_bytes = np.concatenate([fa_bytes[: -pad - 1],
+                                   fa_bytes[-1:]])  # keep trailing newline
+    fasta_path = os.path.join(dirpath, "sim.fa")
+    with open(fasta_path, "wb") as fh:
+        fh.write(b">" + chrom.encode() + b"\n")
+        fh.write(fa_bytes.tobytes())
+
+    # ---- BAM records, coordinate sorted
+    order = np.argsort(batch.pos, kind="stable")
+    pos = batch.pos[order].astype(np.int64)
+    flag = batch.flag[order]
+    mpos = batch.mpos[order].astype(np.int64)
+    seq = batch.seq[order]
+    qual = batch.qual[order]
+    pair_id = (order // 2).astype(np.int64)
+
+    qn_w = 10  # "s%08d" + NUL
+    packed_w = (L + 1) // 2
+    rec_sz = 4 + 32 + qn_w + 4 + packed_w + L
+    buf = np.zeros((n, rec_sz), np.uint8)
+
+    def put32(col, vals, dtype="<i4"):
+        buf[:, col : col + 4] = np.ascontiguousarray(
+            vals.astype(dtype)).view(np.uint8).reshape(n, 4)
+
+    put32(0, np.full(n, rec_sz - 4, np.int32))   # block_size
+    put32(4, np.zeros(n, np.int32))              # refID
+    put32(8, pos.astype(np.int32))
+    buf[:, 12] = qn_w                            # l_read_name
+    buf[:, 13] = 40                              # mapq
+    buf[:, 14:16] = np.frombuffer(struct.pack("<H", 4681), np.uint8)
+    buf[:, 16:18] = np.frombuffer(struct.pack("<H", 1), np.uint8)  # n_cigar
+    buf[:, 18:20] = np.ascontiguousarray(
+        flag.astype("<u2")).view(np.uint8).reshape(n, 2)
+    put32(20, np.full(n, L, np.int32))           # l_seq
+    put32(24, np.zeros(n, np.int32))             # next_refID
+    put32(28, mpos.astype(np.int32))
+    put32(32, np.zeros(n, np.int32))             # tlen
+    # qname "s%08d\0": digits vectorized
+    digits = np.empty((n, 8), np.uint8)
+    v = pair_id.copy()
+    for d in range(7, -1, -1):
+        digits[:, d] = (v % 10) + ord("0")
+        v //= 10
+    buf[:, 36] = ord("s")
+    buf[:, 37:45] = digits
+    buf[:, 45] = 0
+    put32(36 + qn_w, np.full(n, (L << 4) | 0, np.uint32), "<u4")  # cigar LM
+    # packed 4-bit seq
+    s = seq[:, : L + (L % 2)]
+    if L % 2:
+        s = np.concatenate([seq, np.zeros((n, 1), np.uint8)], axis=1)
+    buf[:, 40 + qn_w : 40 + qn_w + packed_w] = (
+        (s[:, 0::2] << 4) | s[:, 1::2])
+    buf[:, 40 + qn_w + packed_w :] = qual
+
+    hdr = b"BAM\x01"
+    text = f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:{chrom}\tLN:{glen}\n\x00".encode()
+    hdr += struct.pack("<i", len(text)) + text
+    hdr += struct.pack("<i", 1)
+    nb = chrom.encode() + b"\x00"
+    hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<i", glen)
+
+    body = hdr + buf.tobytes()
+    bam_path = os.path.join(dirpath, "sim.bam")
+    with open(bam_path, "wb") as fh:
+        for i in range(0, len(body), 60000):
+            payload = body[i : i + 60000]
+            co = zlib.compressobj(1, zlib.DEFLATED, -15)
+            comp = co.compress(payload) + co.flush()
+            # BGZF framing: 18-byte header + comp + 8-byte trailer; BSIZE
+            # field is total block length - 1 = len(comp) + 25.
+            fh.write(
+                b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00\x42\x43\x02\x00"
+                + struct.pack("<H", len(comp) + 25)
+                + comp
+                + struct.pack("<I", zlib.crc32(payload))
+                + struct.pack("<I", len(payload))
+            )
+        fh.write(bytes.fromhex(
+            "1f8b08040000000000ff0600424302001b0003000000000000000000"))
+    return fasta_path, bam_path
+
+
 def simulate_batch_fast(rng, ref_codes: np.ndarray, n_pairs: int, read_len: int,
                         meth_rate: float = 0.7, tid: int = 0,
                         mapq: int = 40) -> ReadBatch:
