@@ -164,6 +164,9 @@ def add_read(qname: str, chrom: str, pos: int, n_meth: int, n_unmeth: int) -> st
 
 
 def run_perread(cfg, out) -> None:
+    from ..parallel import select_perread_backend
+
+    device_walker = select_perread_backend(cfg)
     fasta = FastaFile(cfg.FastaName)
     bam = open_alignment(cfg.BAMName, fasta)
     hdr = bam.header
@@ -215,9 +218,14 @@ def run_perread(cfg, out) -> None:
         if (~hard).any():
             sub = np.nonzero(~hard)[0]
             batch = view.batch(idx[sub])
-            nm[sub], nu[sub] = process_reads_gapless(
-                cfg, batch.seq, batch.qual, batch.pos, batch.l_qseq,
-                strands[sub], ref_window, lpos2, seq_len)
+            if device_walker is not None:
+                nm[sub], nu[sub] = device_walker(
+                    batch.seq, batch.qual, batch.pos, batch.l_qseq,
+                    strands[sub], ref_window, lpos2, seq_len)
+            else:
+                nm[sub], nu[sub] = process_reads_gapless(
+                    cfg, batch.seq, batch.qual, batch.pos, batch.l_qseq,
+                    strands[sub], ref_window, lpos2, seq_len)
         for k in np.nonzero(hard)[0]:
             i = idx[k]
             seq_codes, quals, _ = view.read_arrays(i)

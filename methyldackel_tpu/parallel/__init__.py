@@ -49,7 +49,7 @@ def select_backend(cfg):
     mode = os.environ.get("MDTPU_ENGINE", "auto")
     if mode == "host":
         return None
-    _force_platform()
+    _force_platform()  # before any jax-importing module loads
     if mode == "mesh":
         # Multi-chip (dp, sp) shard_map engine: reads sharded over dp with
         # psum-merged counters, window coordinates sharded over sp.
@@ -79,24 +79,25 @@ def select_backend(cfg):
     return None
 
 
-def select_mbias_backend(cfg):
-    """Device compute for the mbias counter tensor (None → host numpy).
-    Same engine selection surface as extract: MDTPU_ENGINE=jax|mesh force
-    the device path (mesh uses the same per-window kernel; the counter
-    merge is already an associative add across windows/hosts)."""
+def _select_device_fn(cfg, make_fn_name):
+    """Shared engine-selection policy for the per-subcommand device
+    backends: MDTPU_ENGINE=jax|mesh force the device path, host disables,
+    auto enables on an attached TPU."""
     mode = os.environ.get("MDTPU_ENGINE", "auto")
     if mode == "host":
         return None
+    _force_platform()  # before any jax-importing module loads
     try:
-        from .device import make_mbias_backend
+        from . import device as _dev
+
+        make_fn = getattr(_dev, make_fn_name)
     except Exception:
         if mode in ("jax", "mesh"):
             raise
         return None
-    _force_platform()
     if mode in ("jax", "mesh"):
         enable_persistent_cache()
-        return make_mbias_backend(cfg)
+        return make_fn(cfg)
     try:
         import jax
 
@@ -105,5 +106,17 @@ def select_mbias_backend(cfg):
         return None
     if platform in ("tpu", "axon"):
         enable_persistent_cache()
-        return make_mbias_backend(cfg)
+        return make_fn(cfg)
     return None
+
+
+def select_mbias_backend(cfg):
+    """Device compute for the mbias counter tensor (None → host numpy).
+    mesh uses the same per-window kernel; the counter merge is already an
+    associative add across windows/hosts."""
+    return _select_device_fn(cfg, "make_mbias_backend")
+
+
+def select_perread_backend(cfg):
+    """Device chain walker for perRead's gapless rows (None → host numpy)."""
+    return _select_device_fn(cfg, "make_perread_backend")

@@ -26,7 +26,10 @@ from ..ops import semantics as sem
 BASE_A, BASE_C, BASE_G, BASE_T, BASE_N = 1, 2, 4, 8, 15
 REF_C, REF_G = ord("C"), ord("G")
 
-QUAL_BOOST = jnp.asarray(sem.QUAL_BOOST.astype(np.int32))
+# Kept as numpy at module scope: a module-level jnp.asarray would
+# initialize the default JAX backend (the axon TPU — which may be busy or
+# tunnel-slow) at import time, before callers can pin the platform.
+QUAL_BOOST_NP = sem.QUAL_BOOST.astype(np.int32)
 
 
 # ----------------------------------------------------------------- pieces
@@ -191,6 +194,7 @@ def arbitrate_device(seq, qual, refpos, strand, pair_a, pair_b, pair_valid, ovw)
     dba = densify(offa_c, ba, -1)
     dbb = densify(offb_c, bb, -1)
 
+    QUAL_BOOST = jnp.asarray(QUAL_BOOST_NP)
     has = (dba >= 0) & (dbb >= 0) & compatible[:, None]
     differ = dba != dbb
     awins_d = differ & (dqa > dqb) & (dba != BASE_N)
@@ -279,6 +283,99 @@ def mbias_device(seq, qual, refpos, strand, flag, keep_base, ref,
     rows = [jnp.sum((use & (combo == c)).astype(jnp.uint32), axis=0)
             for c in range(16)]
     return jnp.stack(rows, axis=0).reshape(4, 2, 2, seq.shape[1])
+
+
+@functools.partial(jax.jit, static_argnames=("min_phred",))
+def perread_device(seq, qual, pos, lq, strand, ref, seq_start, seq_len, *,
+                   min_phred):
+    """processRead's CpG chain walk (perRead.c:37-94) for gapless reads as a
+    jitted device program: every read steps its cursor in lockstep (the
+    walk is branch-free per step; the low-qual quirk — a failing base
+    advances the cursor and the NEXT base is tallied without a quality
+    re-check — is the where() on `lowq`). L sequential steps of [N]-vector
+    work; bit-equal to engine.perread.process_reads_gapless
+    (tests/test_perread_device.py). Returns (n_meth[N], n_unmeth[N])."""
+    N, L = seq.shape
+    is_c = ref == REF_C
+    is_g = ref == REF_G
+    nxt_g = jnp.concatenate([is_g[1:], jnp.zeros(1, bool)])
+    prv_c = jnp.concatenate([jnp.zeros(1, bool), is_c[:-1]])
+    # CpG direction per reference position; positions at/after seq_len are
+    # zeroed by the in-window mask below.
+    dirv = jnp.where(is_c & nxt_g, jnp.int8(1),
+                     jnp.where(is_g & prv_c, jnp.int8(-1), jnp.int8(0)))
+    nref = ref.shape[0]
+    odd = (strand.astype(jnp.int32) & 1) == 1
+    lq = lq.astype(jnp.int32)
+    pos = pos.astype(jnp.int32)
+
+    def body(_, carry):
+        cursor, nm, nu = carry
+        active = cursor < lq
+        j = jnp.clip(cursor, 0, L - 1)
+        qj = jnp.take_along_axis(qual, j[:, None], axis=1)[:, 0]
+        lowq = active & (qj < min_phred)
+        e = jnp.where(lowq, cursor + 1, cursor)
+        evaluate = active & (e < lq)
+        ec = jnp.clip(e, 0, L - 1)
+        widx = pos + e - seq_start
+        inw = evaluate & (widx >= 0) & (widx < seq_len) & (widx < nref)
+        d = jnp.where(inw, dirv[jnp.clip(widx, 0, nref - 1)], 0)
+        base = jnp.take_along_axis(seq, ec[:, None], axis=1)[:, 0]
+        top = (d == 1) & odd
+        bot = (d == -1) & ~odd
+        nm = nm + ((top & (base == BASE_C)) | (bot & (base == BASE_G)))
+        nu = nu + ((top & (base == BASE_T)) | (bot & (base == BASE_A)))
+        cursor = jnp.where(active, jnp.where(lowq, cursor + 2, cursor + 1),
+                           cursor)
+        return cursor, nm, nu
+
+    cursor = jnp.zeros(N, jnp.int32)
+    nm = jnp.zeros(N, jnp.int32)
+    nu = jnp.zeros(N, jnp.int32)
+    cursor, nm, nu = jax.lax.fori_loop(0, L, body, (cursor, nm, nu))
+    return nm, nu
+
+
+def make_perread_backend(cfg):
+    """Device compute for engine.perread's gapless rows — same outputs as
+    process_reads_gapless, shape-bucketed for compile reuse."""
+    min_phred = int(cfg.minPhred)
+
+    def compute(seq, qual, pos, lq, strand_arr, ref_window, seq_start,
+                seq_len):
+        n, L = seq.shape
+        if n == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        Nb = 256
+        while Nb < n:
+            Nb *= 2
+        Lb = 32
+        while Lb < L:
+            Lb *= 2
+        ref_static = _round_up(max(int(cfg.chunkSize) + 10064, seq_len), 4096)
+        ref_p = np.zeros(ref_static, np.uint8)
+        ref_p[:seq_len] = ref_window[:seq_len]
+
+        def padr(x, fill=0):
+            out = np.full((Nb, Lb) if x.ndim == 2 else (Nb,), fill, x.dtype)
+            if x.ndim == 2:
+                out[:n, :L] = x
+            else:
+                out[:n] = x
+            return out
+
+        nm, nu = perread_device(
+            jnp.asarray(padr(seq)), jnp.asarray(padr(qual)),
+            jnp.asarray(padr(np.asarray(pos, np.int64).astype(np.int32))),
+            jnp.asarray(padr(np.asarray(lq, np.int32))),
+            jnp.asarray(padr(strand_arr.astype(np.int32), 1)),
+            jnp.asarray(ref_p), jnp.int32(seq_start), jnp.int32(seq_len),
+            min_phred=min_phred)
+        return (np.asarray(jax.device_get(nm))[:n].astype(np.int64),
+                np.asarray(jax.device_get(nu))[:n].astype(np.int64))
+
+    return compute
 
 
 def make_mbias_backend(cfg):
