@@ -221,7 +221,11 @@ def bench_e2e_fused(batch, ref_ascii, W, iters):
     cfg4.minOppositeDepth = 3
     out4 = dev.compute_window_counters_fast(cfg4, batch, st, keep,
                                             ref_ascii, 0, 0, W)
-    if not np.array_equal(np.asarray(out4), host):
+    # The packed readback ships counters at context-candidate positions
+    # (ref base C/G) only — the sole positions the emit path ever reads.
+    refw = np.asarray(ref_ascii)[:W]
+    cand = (refw == ord("C")) | (refw == ord("G"))
+    if not np.array_equal(np.asarray(out4)[cand], host[cand]):
         raise AssertionError("fused e2e 4-channel path diverges from host semantics")
     return dt
 

@@ -964,8 +964,16 @@ class _SeriesBuf:
         self.bytes_: dict[str, bytearray] = {}
         self.tag_lens: dict[int, bytearray] = {}
         self.tag_vals: dict[int, bytearray] = {}
+        # constant-detection for htslib-style zero-bit HUFFMAN encodings
+        self.first: dict[str, int] = {}
+        self.same: dict[str, bool] = {}
 
     def put_int(self, key: str, v: int):
+        if key not in self.first:
+            self.first[key] = v
+            self.same[key] = True
+        elif self.same[key] and v != self.first[key]:
+            self.same[key] = False
         self.ints.setdefault(key, bytearray()).extend(write_itf8(v))
 
     def put_byte(self, key: str, b: int):
@@ -985,7 +993,8 @@ _SERIES_METHOD = {"QS": RANS, "BA": RANS, "SC": RANS, "IN": RANS, "BB": RANS,
 
 
 def bam_to_cram(bam, fasta, out_path: str, slice_size: int = 1024,
-                emit_index: bool = True) -> None:
+                emit_index: bool = True, series_method=None,
+                huffman_const: bool = False) -> None:
     """Convert a decoded alignment file (AlignmentSoA) to CRAM 3.0.
 
     Reference-based feature encoding (X substitutions against `fasta`,
@@ -1025,7 +1034,8 @@ def bam_to_cram(bam, fasta, out_path: str, slice_size: int = 1024,
             ref_cache[tid] = fasta.fetch(name, 0, bam.header.lengths[tid] - 1)
         container_off = len(out)
         blob, landmarks, aln_start, aln_span, slice_len = _encode_container(
-            bam, idx, tid, ref_cache.get(tid), counter)
+            bam, idx, tid, ref_cache.get(tid), counter,
+            series_method=series_method, huffman_const=huffman_const)
         out += blob
         counter += len(idx)
         index_rows.append((tid, aln_start, aln_span, container_off,
@@ -1078,7 +1088,8 @@ for _row in range(5):
         _SUB_ENCODE[(_row, _b)] = _t
 
 
-def _encode_container(bam, idx, tid, ref, counter):
+def _encode_container(bam, idx, tid, ref, counter, series_method=None,
+                      huffman_const=False):
     """Encode one single-slice container; returns (bytes, landmarks,
     aln_start, aln_span, slice_byte_len)."""
     sb = _SeriesBuf()
@@ -1196,6 +1207,13 @@ def _encode_container(bam, idx, tid, ref, counter):
     series_spec: dict[str, tuple[int, bytes]] = {}
     ext_payload: dict[int, bytes] = {}
     for key, buf in sb.ints.items():
+        if huffman_const and sb.same.get(key) and sb.first[key] >= 0:
+            # htslib-style zero-bit canonical HUFFMAN for constant series
+            # (single symbol, code length 0 — no core bits, no external)
+            series_spec[key] = (E_HUFFMAN,
+                                _write_array_itf8([sb.first[key]])
+                                + _write_array_itf8([0]))
+            continue
         series_spec[key] = (E_EXTERNAL, write_itf8(cid))
         ext_payload[cid] = bytes(buf)
         cid += 1
@@ -1253,7 +1271,8 @@ def _encode_container(bam, idx, tid, ref, counter):
     data_blocks = [core_block]
     for c in ext_cids:
         key = cid2key.get(c, "")
-        method = _SERIES_METHOD.get(key, GZIP)
+        method = (series_method if series_method is not None
+                  else _SERIES_METHOD).get(key, GZIP)
         data_blocks.append(_write_block(Block(EXTERNAL_DATA, c,
                                               ext_payload[c], method)))
 
