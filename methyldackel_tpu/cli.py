@@ -112,17 +112,98 @@ _EXTRACT_LOPTS = [
 
 
 def extract_usage():
+    """Full option docs, mirroring the reference's surface
+    (extract.c:571-704) in this tool's own words."""
     sys.stderr.write(
-        "\nUsage: methyldackel-tpu extract [OPTIONS] <ref.fa> <sorted_alignments.bam>\n\n"
+        "\nUsage: methyldackel-tpu extract [OPTIONS] <ref.fa> <sorted_alignments.bam>\n"
+        "\n"
         "Extract per-cytosine methylation metrics from a coordinate-sorted,\n"
-        "indexed BAM of bisulfite alignments. Options match MethylDackel extract:\n"
-        " -q/-p/-d, -r region, -l BED (--keepStrand), -o prefix, -F/--ignoreFlags,\n"
-        " -R/--requireFlags, -@ threads, --chunkSize, --noCpG/--CHG/--CHH,\n"
-        " --mergeContext, --fraction/--counts/--logit/--methylKit/--cytosine_report,\n"
-        " --keepDupes/--keepSingleton/--keepDiscordant, --ignoreNH,\n"
-        " --minOppositeDepth/--maxVariantFrac, --minConversionEfficiency,\n"
-        " --OT/--OB/--CTOT/--CTOB and --nOT/--nOB/--nCTOT/--nCTOB trimming bounds,\n"
-        " -M bigWig / -B BBM mappability (-t threshold, -b min bases, -O/-N BBM out).\n"
+        "indexed BAM or CRAM file of bisulfite-sequencing alignments.\n"
+        "\n"
+        "Options:\n"
+        " -q INT           Minimum MAPQ for an alignment to be used (default 10).\n"
+        " -p INT           Minimum base Phred score for a call (default 5, must be >0).\n"
+        " -D INT           Ignored; accepted for backward compatibility.\n"
+        " -d INT           Minimum per-position depth required before a site is\n"
+        "                  reported; with --mergeContext the threshold applies to\n"
+        "                  the merged CpG/CHG unit (default 1).\n"
+        " -r STR           Restrict extraction to this region (chrom[:start-end]).\n"
+        " -l FILE          BED file of regions to include.\n"
+        " --keepStrand     With -l, honor the BED strand column (column 6): a '+'\n"
+        "                  region reports only top-strand metrics, '-' only bottom.\n"
+        "                  -r may further restrict the -l regions.\n"
+        " -M, --mappability FILE        bigWig mappability track for read filtering.\n"
+        " -t, --mappabilityThreshold F  Mappability value above which a base counts\n"
+        "                  as mappable (default 0.01).\n"
+        " -b, --minMappableBases INT    Mappable bases required in a read (or its\n"
+        "                  mate's assumed span) to keep the pair (default 15).\n"
+        " -O, --outputBBMFile           Also write a Binary Bismap (.bbm) cache next\n"
+        "                  to the -M bigWig (no effect without -M).\n"
+        " -N, --outputBBMFileName FILE  Write the .bbm cache to this exact path\n"
+        "                  (no effect without -M).\n"
+        " -B, --mappabilityBB FILE      Load mappability from a .bbm file instead\n"
+        "                  of a bigWig.\n"
+        " -@ INT           Worker threads (default 1). Device compute additionally\n"
+        "                  shards across all attached TPU chips under\n"
+        "                  MDTPU_ENGINE=mesh.\n"
+        " --chunkSize INT  Genome span processed per work unit (default 1000000;\n"
+        "                  must be >= 1).\n"
+        " --mergeContext   Collapse the per-C metrics of each CpG (or CHG) into a\n"
+        "                  single merged entry.\n"
+        " -o, --opref STR  Output prefix; metrics land in STR_CpG.bedGraph etc.\n"
+        " --keepDupes      Use alignments flagged as PCR/optical duplicates (clears\n"
+        "                  0x400 from --ignoreFlags).\n"
+        " --keepSingleton  Use paired alignments whose mate did not align.\n"
+        " --keepDiscordant Use paired alignments lacking the properly-paired bit\n"
+        "                  (what counts as concordant is the aligner's decision).\n"
+        " -F, --ignoreFlags INT   Skip alignments carrying any of these FLAG bits.\n"
+        "                  Default 0xF00 (secondary 0x100, QC-fail 0x200,\n"
+        "                  duplicate 0x400, supplementary 0x800).\n"
+        " -R, --requireFlags INT  Keep only alignments carrying ALL of these FLAG\n"
+        "                  bits (like samtools -f; default 0 keeps everything).\n"
+        " --noCpG          Suppress CpG-context output.\n"
+        " --CHG            Emit CHG-context output.\n"
+        " --CHH            Emit CHH-context output.\n"
+        " --fraction       Emit only the methylated fraction per position\n"
+        "                  (.meth.bedGraph).\n"
+        " --counts         Emit only the raw base counts per position\n"
+        "                  (.counts.bedGraph).\n"
+        " --logit          Emit only logit(M/(M+U)) per position (.logit.bedGraph).\n"
+        " --ignoreNH       Do not treat NH>1 alignments as multimappers (by\n"
+        "                  default they are skipped).\n"
+        " --minOppositeDepth INT  Enable variant-site exclusion: minimum coverage\n"
+        "                  on the strand opposite a C before checking for A/T/C\n"
+        "                  bases there; 0 (default) disables. -p/-q gate those\n"
+        "                  bases too. Under --mergeContext a merged site is\n"
+        "                  dropped if either of its Cs would be.\n"
+        " --maxVariantFrac F      Fraction of opposite-strand A/T/C calls at or\n"
+        "                  above which the position is treated as a variant and\n"
+        "                  excluded (default 0.0). See --minOppositeDepth.\n"
+        " --minConversionEfficiency F  Minimum per-read non-CpG conversion\n"
+        "                  efficiency to keep a read (default 0.0, max 1.0).\n"
+        "                  Strongly discouraged without a compelling reason.\n"
+        " --methylKit      methylKit-format output; incompatible with\n"
+        "                  --mergeContext, --fraction and --counts.\n"
+        " --cytosine_report  Bismark-style exhaustive per-C report (1-based\n"
+        "                  position, strand, meth/unmeth counts, CG/CHG/CHH,\n"
+        "                  trinucleotide context) covering every C, including\n"
+        "                  zero-coverage ones, in one .cytosine_report.txt file.\n"
+        "                  Incompatible with --fraction/--counts/--methylKit/\n"
+        "                  --mergeContext.\n"
+        " --OT A,B,C,D     Inclusion window for calls on original-top-strand\n"
+        "                  alignments: 1-based read positions A..B on read #1 and\n"
+        "                  C..D on read #2; a 0 bound means the corresponding\n"
+        "                  alignment end. E.g. --OT 5,0,0,0 drops the first 4\n"
+        "                  bases of read #1. Use the mbias plots to choose values.\n"
+        " --OB/--CTOT/--CTOB A,B,C,D   Same, for the original-bottom and the two\n"
+        "                  complementary strands.\n"
+        " --nOT A,B,C,D    Always trim this many bases from each read end\n"
+        "                  (left,right on read #1, then read #2), regardless of\n"
+        "                  alignment length — for reads already trimmed to\n"
+        "                  varying lengths.\n"
+        " --nOB/--nCTOT/--nCTOB A,B,C,D  Same, for the other strands.\n"
+        " --version        Print the version and exit.\n"
+        "\nNote that --fraction, --counts, and --logit are mutually exclusive!\n"
     )
 
 

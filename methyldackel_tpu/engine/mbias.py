@@ -177,15 +177,48 @@ _MBIAS_LOPTS = [
 
 
 def mbias_usage():
+    """Full option docs, mirroring MBias.c:232-302 in this tool's words."""
     sys.stderr.write(
         "\nUsage: methyldackel-tpu mbias [OPTIONS] <ref.fa> <sorted_alignments.bam> "
-        "<output.prefix>\n\n"
-        "Produce per-strand methylation-bias SVGs (and/or --txt tables) by read\n"
-        "cycle, with suggested --OT/--OB/--CTOT/--CTOB inclusion bounds.\n"
-        "Options: -q, -p, -r, -l (--keepStrand), -F, -R, -@, --chunkSize,\n"
-        "--noCpG/--CHG/--CHH, --keepDupes/--keepSingleton/--keepDiscordant,\n"
-        "--nOT/--nOB/--nCTOT/--nCTOB, --minConversionEfficiency, --ignoreNH,\n"
-        "--txt, --noSVG.\n"
+        "<output.prefix>\n"
+        "\n"
+        "Plot per-read-cycle methylation (one SVG per strand) and suggest\n"
+        "--OT/--OB/--CTOT/--CTOB inclusion bounds for extract.\n"
+        "\n"
+        "Options:\n"
+        " -q INT           Minimum MAPQ for an alignment to be used (default 10).\n"
+        " -p INT           Minimum base Phred score for a call (default 5, must be >0).\n"
+        " -D INT           Maximum per-base depth (accepted for compatibility).\n"
+        " -r STR           Restrict processing to this region.\n"
+        " -l FILE          BED file of regions to include.\n"
+        " --keepStrand     With -l, honor the BED strand column (column 6); -r may\n"
+        "                  further restrict the -l regions.\n"
+        " -@ INT           Worker threads (default 1).\n"
+        " --chunkSize INT  Genome span per work unit (default 1000000, >= 1).\n"
+        " --keepDupes      Use alignments flagged as duplicates.\n"
+        " --keepSingleton  Use paired alignments whose mate did not align.\n"
+        " --keepDiscordant Use paired alignments lacking the properly-paired bit.\n"
+        " -F, --ignoreFlags INT   Skip alignments with any of these FLAG bits\n"
+        "                  (default 0xF00: secondary/QC-fail/duplicate/supplementary).\n"
+        " -R, --requireFlags INT  Keep only alignments with ALL of these bits\n"
+        "                  (default 0).\n"
+        " --ignoreNH       Do not treat NH>1 alignments as multimappers.\n"
+        " --minConversionEfficiency F  Minimum per-read non-CpG conversion\n"
+        "                  efficiency to keep a read (default 0.0, max 1.0).\n"
+        " --txt            Print 1-based tab-separated counters to stdout (for R\n"
+        "                  or manual plotting).\n"
+        " --noSVG          Skip the SVG files (implies --txt; no output prefix\n"
+        "                  needed).\n"
+        " --noCpG          Exclude CpG-context calls from the counters.\n"
+        " --CHG            Include CHG-context calls.\n"
+        " --CHH            Include CHH-context calls.\n"
+        " --nOT A,B,C,D    Always trim this many bases from each read end (1-based\n"
+        "                  from the ends; left,right of read #1 then read #2; 0 =\n"
+        "                  the alignment end itself). E.g. --nOT 5,10,0,0 on a\n"
+        "                  100 bp read #1 keeps bases 5..90.\n"
+        " --nOB/--nCTOT/--nCTOB A,B,C,D  Same, for the original-bottom and the\n"
+        "                  two complementary strands.\n"
+        " --version        Print the version and exit.\n"
     )
 
 

@@ -183,11 +183,21 @@ def _emit_rows(out, rows, typs, widths, last_cpg, last_chg) -> bool:
 
 
 def merge_context_usage():
+    """Full option docs (mergeContext.c:160-177 surface)."""
     sys.stderr.write(
-        "\nUsage: methyldackel-tpu mergeContext [OPTIONS] <ref.fa> <input>\n\n"
-        "Merge single-cytosine metrics (e.g. from extract) into per-CpG/CHG\n"
-        "metrics. Input must be coordinate sorted; '-' reads from stdin.\n"
-        "Options: -o output file [stdout].\n"
+        "\nUsage: methyldackel-tpu mergeContext [OPTIONS] <ref.fa> <input>\n"
+        "\n"
+        "Merge single-cytosine methylation metrics into per-CpG/CHG metrics.\n"
+        "The input must be coordinate sorted; it may mix sequence contexts,\n"
+        "though the merged result can then come out unsorted.\n"
+        "\n"
+        "Arguments:\n"
+        "  ref.fa    Reference genome in (faidx-indexed) fasta format.\n"
+        "  input     A bedGraph such as extract produces; '-' reads a pipe.\n"
+        "\n"
+        "Options:\n"
+        "  -o STR    Output file name [stdout].\n"
+        "  --version Print the version and exit.\n"
     )
 
 

@@ -292,11 +292,36 @@ _PERREAD_LOPTS = [
 
 
 def perread_usage():
+    """Full option docs, mirroring perRead.c:225-273 in this tool's words.
+    (--ignoreNH appears in the reference's usage text but is absent from
+    its getopt table and unused by its filter, so it is not accepted here
+    either.)"""
     sys.stderr.write(
-        "\nUsage: methyldackel-tpu perRead [OPTIONS] <ref.fa> <input>\n\n"
-        "Compute the average CpG methylation level of each read. Output columns:\n"
-        "read name, chromosome, position, CpG methylation (%), informative bases.\n"
-        "Options: -q, -p, -r, -l (--keepStrand), -o, -F, -R, -@, --chunkSize.\n"
+        "\nUsage: methyldackel-tpu perRead [OPTIONS] <ref.fa> <input>\n"
+        "\n"
+        "Compute the average CpG methylation level of each read. The output is\n"
+        "tab-separated with columns: read name, chromosome, position, CpG\n"
+        "methylation (%), number of informative bases.\n"
+        "\n"
+        "Arguments:\n"
+        "  ref.fa    Reference genome in (faidx-indexed) fasta format.\n"
+        "  input     A sorted (and ideally indexed) BAM or CRAM file.\n"
+        "\n"
+        "Options:\n"
+        " -q INT     Minimum MAPQ for an alignment to be used (default 10).\n"
+        " -p INT     Minimum base Phred score for a call (default 5, must be >0).\n"
+        " -r STR     Restrict processing to this region.\n"
+        " -l FILE    BED file of regions to include.\n"
+        " --keepStrand  With -l, honor the BED strand column (column 6); -r may\n"
+        "            further restrict the -l regions.\n"
+        " -o STR     Output file name [stdout].\n"
+        " -F, --ignoreFlags INT   Skip alignments sharing ANY bit with this value\n"
+        "            (default 0: every read is output).\n"
+        " -R, --requireFlags INT  Keep only alignments with ALL of these bits\n"
+        "            (like samtools -f; default 0).\n"
+        " -@ INT     Worker threads (default 1).\n"
+        " --chunkSize INT  Genome span per work unit (default 1000000, >= 1).\n"
+        " --version  Print the version and exit.\n"
     )
 
 
