@@ -455,7 +455,17 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
     # independent tasks (BED scans start from an order-free lower bound,
     # io/bed.lower_bound) whose results drain strictly in genome order —
     # the ticket-ordered flush (extract.c:514-535) without the spinning.
-    compute_lock = threading.Lock() if compute_backend is not None else None
+    # Device dispatch is NOT serialized: jax jit dispatch is thread-safe
+    # and XLA queues programs on the device stream, so worker threads
+    # overlap host prep (decode/filter/trim/pairing) and transfers of
+    # upcoming windows with in-flight device compute; MDTPU_SERIAL_DEVICE=1
+    # restores the old one-at-a-time behavior for debugging.
+    import os as _os
+
+    compute_lock = (threading.Lock()
+                    if compute_backend is not None
+                    and _os.environ.get("MDTPU_SERIAL_DEVICE") == "1"
+                    else None)
 
     def process_window(tid, lpos, lend):
         name = hdr.names[tid]

@@ -93,6 +93,15 @@ def test_mesh_conversion_efficiency(fixture_dir):
              ["m7_CpG.bedGraph", "m7_CHG.bedGraph", "m7_CHH.bedGraph"])
 
 
+def test_mesh_threaded_byte_identical(fixture_dir):
+    """-@ 4 over the mesh backend (concurrent device dispatch, ordered
+    drain) must not change a byte vs the single-threaded host run."""
+    run_both(fixture_dir,
+             ["-@", "4", "--chunkSize", "40", "cg100.fa", "cg_aln.bam",
+              "-q", "2", "-o", "m9"],
+             ["m9_CpG.bedGraph"])
+
+
 def test_mesh_cytosine_report(fixture_dir):
     run_both(fixture_dir,
              ["--cytosine_report", "--CHH", "--CHG", "cg100.fa", "cg_aln.bam",
