@@ -406,6 +406,10 @@ class StreamingBamFile:
                 f"streaming mode needs an index next to {path} (.bai)"
             )
         self.bai = BaiFile(bai)
+        # last inflated byte range, reused by the next (usually adjacent)
+        # window so shared BGZF blocks are not re-inflated. Stored as ONE
+        # tuple so concurrent -@ workers read/replace it atomically.
+        self._cache = (-1, b"")
 
     @property
     def n_reads(self) -> int:
@@ -415,16 +419,18 @@ class StreamingBamFile:
         v = self.bai.min_voffset(tid, max(start, 0))
         flat0 = (self.blocks.voffset_to_flat(v) if v else self._first_rec_flat)
         CHUNK = 8 << 20
-        buf = b""
+        # Serve the head of this window from the previous window's inflated
+        # bytes when the ranges overlap (adjacent windows share the
+        # boundary-spanning reads' blocks; re-inflating them dominated the
+        # per-window cost for small windows).
+        c_flat0, c_buf = self._cache
+        if 0 <= c_flat0 <= flat0 < c_flat0 + len(c_buf):
+            buf = c_buf[flat0 - c_flat0 :]
+        else:
+            buf = b""
         p = 0
         cut = None
         while cut is None:
-            nxt = self.blocks.read_flat_range(flat0 + len(buf),
-                                              flat0 + len(buf) + CHUNK)
-            if not nxt:
-                cut = p  # EOF: everything walked is complete records
-                break
-            buf += nxt
             while p + 36 <= len(buf):
                 (bs,) = struct.unpack_from("<i", buf, p)
                 if p + 4 + bs > len(buf):
@@ -434,7 +440,16 @@ class StreamingBamFile:
                     cut = p
                     break
                 p += 4 + bs
-            # cut not found: the outer loop fetches more; the walk resumes at p
+            if cut is not None:
+                break
+            nxt = self.blocks.read_flat_range(flat0 + len(buf),
+                                              flat0 + len(buf) + CHUNK)
+            if not nxt:
+                cut = p  # EOF: everything walked is complete records
+                break
+            buf += nxt
+            # the walk resumes at p over the extended buffer
+        self._cache = (flat0, buf)
         return SegmentSoA(self.header, buf[:cut], 0)
 
 
