@@ -534,6 +534,36 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+@functools.partial(jax.jit, static_argnames=("LP2",))
+def _phase_align_device(seq, qual, pos_rel, parity, *, LP2):
+    """Device phase alignment: shift row r right by pos_rel[r] % 128 and set
+    the parity bit (bit 5) on every base byte — as a 7-stage BARREL SHIFTER
+    (per-bit conditional static shifts), not a per-row gather: dynamic
+    minor-axis gathers lower to ~12 M elem/s on TPU (measured 2.7 s per 1 Mb
+    window), while the 7 pad+slice+select stages are pure fusable vector
+    ops. Base code 0 never occurs inside a read ('=' rows are routed to the
+    XLA subpath), so `seq != 0` identifies in-read positions after every
+    stage."""
+    L = seq.shape[1]
+    x = jnp.pad(seq, ((0, 0), (0, LP2 - L)))
+    q = jnp.pad(qual, ((0, 0), (0, LP2 - L)))
+    sh = pos_rel.astype(jnp.int32) % 128
+    for k in range(7):
+        bit = ((sh >> k) & 1)[:, None] == 1
+        s = 1 << k
+        x = jnp.where(bit, jnp.pad(x, ((0, 0), (s, 0)))[:, :LP2], x)
+        q = jnp.where(bit, jnp.pad(q, ((0, 0), (s, 0)))[:, :LP2], q)
+    # The parity bit goes on EVERY byte of the shifted [sh, sh+L) window —
+    # including beyond-l_qseq padding (base 0, qual 0), matching
+    # pileup_pallas.prealign_reads exactly; both kernels strip `& 15` and
+    # phred-gate, so those bytes stay inert.
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, LP2), 1)
+    ok = (col >= sh[:, None]) & (col < sh[:, None] + L)
+    seq_a = jnp.where(ok, x | (parity[:, None] << 5), 0).astype(jnp.uint8)
+    qual_a = jnp.where(ok, q, 0).astype(jnp.uint8)
+    return seq_a, qual_a
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("L", "LP2", "PB", "max_shift", "ntiles", "T", "HALO_L",
@@ -548,22 +578,16 @@ def _fused_fast_window(seq, qual, pos_rel, parity, pa, pb, code, srtk, cntk,
     less traffic than shipping the phase-aligned [Nb, LP2] layout for
     arbitration and pileup separately.
 
-    Stages: phase-align (per-row gather by pos%128, parity in bit 5) →
-    pair row-gather → Pallas arbitration (shift code in bits 6-7) → row
-    scatter of arbitrated quals → Pallas tile pileup → reference-dependent
-    channel epilogue. Rows must arrive sorted by aligned start; pad pairs
-    carry code 3 (ineligible) and point at the final zero row."""
+    Stages: phase-align (barrel-shift by pos%128, parity in bit 5 —
+    _phase_align_device) → pair row-gather → Pallas arbitration (shift code
+    in bits 6-7) → row scatter of arbitrated quals → Pallas tile pileup →
+    reference-dependent channel epilogue. Rows must arrive sorted by
+    aligned start; pad pairs carry code 3 (ineligible) and point at the
+    final zero row."""
     from ..ops import arbitrate_pallas as ak
     from ..ops import pileup_pallas as pk
 
-    col = jnp.arange(LP2, dtype=jnp.int32)[None, :]
-    pad = (pos_rel.astype(jnp.int32) % 128)[:, None]
-    src = col - pad
-    ok = (src >= 0) & (src < L)
-    srcc = jnp.clip(src, 0, L - 1)
-    seq_a = jnp.take_along_axis(seq, srcc, axis=1)
-    seq_a = jnp.where(ok, seq_a | (parity[:, None] << 5), 0).astype(jnp.uint8)
-    qual_a = jnp.where(ok, jnp.take_along_axis(qual, srcc, axis=1), 0).astype(jnp.uint8)
+    seq_a, qual_a = _phase_align_device(seq, qual, pos_rel, parity, LP2=LP2)
 
     sa = seq_a[pa] | (code[:, None] << 6)
     na, nb = ak.arbitrate_pallas(sa, qual_a[pa], seq_a[pb], qual_a[pb],
@@ -960,6 +984,12 @@ def _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag, a_np, b_np,
         hpb = np.zeros(1, np.int32)
         hpv = np.zeros(1, bool)
 
+    import os as _os
+    import time as _time
+
+    profile = _os.environ.get("MDTPU_PROFILE_DISPATCH") == "1"
+    if profile:
+        t0 = _time.perf_counter()
     args = (
         jnp.asarray(seq_p), jnp.asarray(qual_p), jnp.asarray(pos_p),
         jnp.asarray(parity_p), jnp.asarray(pa_p), jnp.asarray(pb_p),
@@ -973,9 +1003,26 @@ def _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag, a_np, b_np,
                    HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX,
                    min_phred=cfg.minPhred, W=wpad, OVW=OVW,
                    HAS_HARD=HAS_HARD)
+    if profile:
+        for a in args:
+            if hasattr(a, "block_until_ready"):
+                a.block_until_ready()
+        t1 = _time.perf_counter()
     sel, overflow = _fused_window_packed(
         *args, jnp.asarray(cand_p), NCH=NCH, **statics)
+    if profile:
+        sel.block_until_ready()
+        t2 = _time.perf_counter()
     sel = np.asarray(jax.device_get(sel))
+    if profile:
+        t3 = _time.perf_counter()
+        import sys as _sys
+
+        _sys.stderr.write(
+            f"[dispatch] n={len(seq)} upload={t1 - t0:.3f}s "
+            f"exec={t2 - t1:.3f}s readback={t3 - t2:.3f}s "
+            f"bytes_up={seq_p.nbytes + qual_p.nbytes} "
+            f"bytes_down={sel.nbytes}\n")
     counters = np.zeros((wpad, 4), np.uint32)
     if bool(overflow):  # depth > 65535 somewhere: refetch wide (rare)
         out = _fused_window_wide(*args, **statics)
