@@ -569,9 +569,9 @@ def _phase_align_device(seq, qual, pos_rel, parity, *, LP2):
     static_argnames=("L", "LP2", "PB", "max_shift", "ntiles", "T", "HALO_L",
                      "LP", "K", "GMAX", "min_phred", "W"),
 )
-def _fused_fast_window(seq, qual, pos_rel, parity, pa, pb, code, srtk, cntk,
-                       ref, woff_rel, *, L, LP2, PB, max_shift, ntiles, T,
-                       HALO_L, LP, K, GMAX, min_phred, W):
+def _fused_fast_window(seq, qual, pos_rel, parity, pa, pb, code, final_src,
+                       srtk, cntk, ref, woff_rel, *, L, LP2, PB, max_shift,
+                       ntiles, T, HALO_L, LP, K, GMAX, min_phred, W):
     """The whole gapless fast path as ONE device program, so the host ships
     only the compact raw arrays (seq/qual [Nb, L] u8 + scalars) once per
     window — the host↔device link (slow under the axon tunnel) sees ~4x
@@ -592,7 +592,11 @@ def _fused_fast_window(seq, qual, pos_rel, parity, pa, pb, code, srtk, cntk,
     sa = seq_a[pa] | (code[:, None] << 6)
     na, nb = ak.arbitrate_pallas(sa, qual_a[pa], seq_a[pb], qual_a[pb],
                                  PB=PB, LP2=LP2, max_shift=max_shift)
-    qual_a = qual_a.at[pa].set(na).at[pb].set(nb)
+    # Route arbitrated quals back by GATHER, not scatter: final_src[r] maps
+    # row r to itself, its na row (Nb+i) or its nb row (Nb+P_pad+i) — XLA
+    # row-scatter on TPU serialized this step; row-take is DMA-fast.
+    qual_a = jnp.take(jnp.concatenate([qual_a, na, nb], axis=0), final_src,
+                      axis=0)
 
     tiles = pk._pileup_tiles(srtk, cntk, seq_a, qual_a, ntiles=ntiles, T=T,
                              HALO_L=HALO_L, LP=LP, LP2=LP2, K=K, GMAX=GMAX,
@@ -600,10 +604,11 @@ def _fused_fast_window(seq, qual, pos_rel, parity, pa, pb, code, srtk, cntk,
     return pk.counts_to_channels(tiles[:, :W], ref, woff_rel, W)
 
 
-def _window_channels(seq, qual, pos_rel, parity, pa, pb, code, srtk, cntk,
-                     ref, woff_rel, hseq, hqual, hrefpos, hstrand, hkeep,
-                     hpa, hpb, hpv, *, L, LP2, PB, max_shift, ntiles, T,
-                     HALO_L, LP, K, GMAX, min_phred, W, OVW, HAS_HARD):
+def _window_channels(seq, qual, pos_rel, parity, pa, pb, code, final_src,
+                     srtk, cntk, ref, woff_rel, hseq, hqual, hrefpos,
+                     hstrand, hkeep, hpa, hpb, hpv, *, L, LP2, PB, max_shift,
+                     ntiles, T, HALO_L, LP, K, GMAX, min_phred, W, OVW,
+                     HAS_HARD):
     """Full window channels [4, W] uint32: the Pallas fast path for gapless
     rows, plus (HAS_HARD) the exact XLA scatter path for indel/clipped rows
     — dense per-pair arbitration then the scatter-add pileup — summed on
@@ -611,7 +616,8 @@ def _window_channels(seq, qual, pos_rel, parity, pa, pb, code, srtk, cntk,
     (where ~10-30% of reads carry indels) reuse one compiled program
     instead of recompiling per window."""
     full = _fused_fast_window(
-        seq, qual, pos_rel, parity, pa, pb, code, srtk, cntk, ref, woff_rel,
+        seq, qual, pos_rel, parity, pa, pb, code, final_src, srtk, cntk,
+        ref, woff_rel,
         L=L, LP2=LP2, PB=PB, max_shift=max_shift, ntiles=ntiles, T=T,
         HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, min_phred=min_phred, W=W,
     )  # [4, W] uint32
@@ -912,6 +918,12 @@ def _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag, a_np, b_np,
     pa_p[:P] = pa2
     pb_p[:P] = pb2
     code_p[:P] = code
+    # Gather map for the arbitrated-qual routing (see _fused_fast_window):
+    # row r keeps itself unless it is pair i's a (na row Nb+i) or b
+    # (nb row Nb+P_pad+i). Pad pairs point at the zero row and map nothing.
+    final_src = np.arange(Nb, dtype=np.int32)
+    final_src[pa2] = Nb + np.arange(P, dtype=np.int32)
+    final_src[pb2] = Nb + P_pad + np.arange(P, dtype=np.int32)
 
     # counts_to_channels' dynamic-slice epilogue only tolerates offsets
     # within its ±PAD slack (pileup_pallas PAD=512); assert host-side since
@@ -993,8 +1005,8 @@ def _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag, a_np, b_np,
     args = (
         jnp.asarray(seq_p), jnp.asarray(qual_p), jnp.asarray(pos_p),
         jnp.asarray(parity_p), jnp.asarray(pa_p), jnp.asarray(pb_p),
-        jnp.asarray(code_p), jnp.asarray(srtk), jnp.asarray(cntk),
-        jnp.asarray(ref_p), jnp.int32(woff_rel),
+        jnp.asarray(code_p), jnp.asarray(final_src), jnp.asarray(srtk),
+        jnp.asarray(cntk), jnp.asarray(ref_p), jnp.int32(woff_rel),
         jnp.asarray(hseq), jnp.asarray(hqual), jnp.asarray(hrefpos),
         jnp.asarray(hstrand), jnp.asarray(hkeep), jnp.asarray(hpa),
         jnp.asarray(hpb), jnp.asarray(hpv),
