@@ -1,0 +1,75 @@
+// Native output-row formatter for the hot emit path.
+//
+// The reference writes bedGraph rows with fprintf (writeCall,
+// /root/reference/extract.c:39-56); this framework batches each window's
+// rows into one buffer. Formatting ~1 row/C of a mammalian genome in
+// Python f-strings is a measurable share of end-to-end extract time, so
+// the common integer formats are produced here: the caller passes column
+// arrays and receives the concatenated ASCII lines.
+//
+// Byte compatibility: every column is an integer already computed by the
+// caller (including the truncated percentage, which is float math the
+// caller reproduces bit-for-bit); this file only does decimal rendering,
+// which is base-10 exact.
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// Writes the decimal form of v at p, returns one past the last byte.
+inline char* itoa64(char* p, int64_t v) {
+  if (v < 0) {
+    *p++ = '-';
+    // int64 min cannot occur for genomic coordinates/counters; keep simple.
+    v = -v;
+  }
+  char tmp[20];
+  int n = 0;
+  do {
+    tmp[n++] = static_cast<char>('0' + (v % 10));
+    v /= 10;
+  } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Rows "chrom\tstart\tend\tval\tnm\tnu\n" (the default bedGraph layout,
+// extract.c:48-56; also mergeContext's printRecord, mergeContext.c:23-27).
+// nm/nu may be null: then rows are "chrom\tstart\tend\tval\n" (the --counts
+// layout, extract.c:60-63, with val = coverage). Returns bytes written, or
+// -1 if out_cap is too small.
+int64_t mdtpu_format_bedgraph(const char* chrom, int64_t chrom_len,
+                              const int64_t* start, const int64_t* end,
+                              const int64_t* val, const int64_t* nm,
+                              const int64_t* nu, int64_t n, char* out,
+                              int64_t out_cap) {
+  // Worst case per row: chrom + 6 separators + 5 numbers of <= 20 digits.
+  const int64_t bound = chrom_len + 6 + 5 * 20;
+  char* p = out;
+  const char* lim = out + out_cap;
+  for (int64_t i = 0; i < n; ++i) {
+    if (lim - p < bound) return -1;
+    std::memcpy(p, chrom, chrom_len);
+    p += chrom_len;
+    *p++ = '\t';
+    p = itoa64(p, start[i]);
+    *p++ = '\t';
+    p = itoa64(p, end[i]);
+    *p++ = '\t';
+    p = itoa64(p, val[i]);
+    if (nm) {
+      *p++ = '\t';
+      p = itoa64(p, nm[i]);
+      *p++ = '\t';
+      p = itoa64(p, nu[i]);
+    }
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+}  // extern "C"

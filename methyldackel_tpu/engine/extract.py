@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ..io import native
 from ..io.bam import BamFile
 from ..io.cram import CramFile, open_alignment
 from ..io.fasta import FastaFile
@@ -195,7 +196,25 @@ def emit_window(cfg, chrom: str, tid: int, win_start: int, win_end: int,
         n_variant = int((ctx_kept & variant_mask & has_data).sum())
         if cfg.minDepth > 1:
             emit &= (nm_v + nu_v) >= cfg.minDepth
-        if (cfg.fraction or cfg.logit or cfg.counts or cfg.methylKit):
+        if cfg.counts:
+            # --counts layout (extract.c:60-63): chrom, start, end, coverage.
+            for t in range(3):
+                if not keep_vec[t]:
+                    continue
+                w = np.nonzero(emit & (ct == t))[0]
+                if len(w) == 0:
+                    continue
+                cov = nm_v[w] + nu_v[w]
+                pos_t = win_start + w
+                rows = native.format_bedgraph(chrom, pos_t, pos_t + 1, cov)
+                if rows is None:
+                    rows = "".join(
+                        f"{chrom}\t{p}\t{p + 1}\t{c}\n"
+                        for p, c in zip(pos_t.tolist(), cov.tolist())
+                    )
+                lines[t].append(rows)
+            return WindowResult(lines, n_variant)
+        if (cfg.fraction or cfg.logit or cfg.methylKit):
             for w in np.nonzero(emit)[0]:
                 pos = win_start + int(w)
                 t = int(ct[w])
@@ -220,11 +239,15 @@ def emit_window(cfg, chrom: str, tid: int, win_start: int, win_end: int,
             nu_t = nu_v[w]
             pct = np.trunc(100.0 * nm_t / (nm_t + nu_t)).astype(np.int64)
             pos_t = win_start + w
-            lines[t].append("".join(
-                f"{chrom}\t{p}\t{p + 1}\t{v}\t{m}\t{u}\n"
-                for p, v, m, u in zip(pos_t.tolist(), pct.tolist(),
-                                      nm_t.tolist(), nu_t.tolist())
-            ))
+            rows = native.format_bedgraph(chrom, pos_t, pos_t + 1, pct,
+                                          nm_t, nu_t)
+            if rows is None:
+                rows = "".join(
+                    f"{chrom}\t{p}\t{p + 1}\t{v}\t{m}\t{u}\n"
+                    for p, v, m, u in zip(pos_t.tolist(), pct.tolist(),
+                                          nm_t.tolist(), nu_t.tolist())
+                )
+            lines[t].append(rows)
         return WindowResult(lines, n_variant)
 
     if cfg.cytosine_report:

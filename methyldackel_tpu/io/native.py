@@ -54,6 +54,13 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
+        lib.mdtpu_format_bedgraph.restype = ctypes.c_int64
+        lib.mdtpu_format_bedgraph.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
         _LIB = lib
     except (OSError, AttributeError):
         _LIB = None
@@ -157,3 +164,34 @@ def pad_batch(offsets, idx, seq_flat, qual_flat, refpos_flat, L):
     if rc != 0:
         return None
     return seq, qual, refpos
+
+
+def format_bedgraph(chrom: str, start, end, val, nm=None, nu=None):
+    """Concatenated "chrom\\tstart\\tend\\tval[\\tnm\\tnu]\\n" rows (the
+    writeCall integer layouts, extract.c:48-63) via the native formatter.
+    Returns a str, or None if the library isn't built. All columns must be
+    int64 arrays of equal length; nm/nu omitted = the --counts layout."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    start = np.ascontiguousarray(start, np.int64)
+    end = np.ascontiguousarray(end, np.int64)
+    val = np.ascontiguousarray(val, np.int64)
+    n = len(start)
+    cb = chrom.encode()
+    cap = n * (len(cb) + 6 + 5 * 20) + 1
+    out = ctypes.create_string_buffer(cap)
+
+    def ptr(a):
+        return None if a is None else a.ctypes.data_as(ctypes.c_void_p)
+
+    if nm is not None:
+        nm = np.ascontiguousarray(nm, np.int64)
+        nu = np.ascontiguousarray(nu, np.int64)
+    w = lib.mdtpu_format_bedgraph(cb, len(cb), ptr(start), ptr(end),
+                                  ptr(val), ptr(nm), ptr(nu), n, out, cap)
+    if w < 0:
+        return None
+    return out.raw[:w].decode("ascii")
