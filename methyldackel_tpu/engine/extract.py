@@ -145,7 +145,14 @@ def compute_window_counters_host(cfg, batch, strand_arr, keep, ref_window,
     refpos = batch.refpos[kidx]
     st = strand_arr[kidx]
     a_idx, b_idx = sem.pair_mates_batch(batch, kidx)
-    sem.arbitrate_overlaps(seq, qual, refpos, st, a_idx, b_idx)
+    fb = native.arbitrate(seq, qual, refpos, st, a_idx, b_idx)
+    if fb is None:
+        sem.arbitrate_overlaps(seq, qual, refpos, st, a_idx, b_idx)
+    elif len(fb):
+        # indel/clipped pairs: the exact per-pair path (the native kernel
+        # only handles gapless mates)
+        sem._arbitrate_pairs_loop(seq, qual, refpos, st,
+                                  np.asarray(a_idx)[fb], np.asarray(b_idx)[fb])
     if rstrand is not None:
         # BED strand column: per-base inclusion via the region covering the
         # base's column (readStrandOverlapsBED, bed.c:56-64).
@@ -155,6 +162,10 @@ def compute_window_counters_host(cfg, batch, strand_arr, keep, ref_window,
         keep_base = (rs == 0) | ((rs == 1) & odd) | ((rs == 2) & ~odd)
     else:
         keep_base = np.ones(seq.shape, dtype=bool)
+    out = native.pileup_channels(seq, qual, refpos, st, keep_base, ref_window,
+                                 win_offset, win_start, win_end, cfg.minPhred)
+    if out is not None:
+        return out
     return sem.pileup_channels(seq, qual, refpos, st, keep_base, ref_window,
                                win_offset, win_start, win_end, cfg.minPhred)
 

@@ -54,6 +54,21 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
+        lib.mdtpu_pileup.restype = ctypes.c_int
+        lib.mdtpu_pileup.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.mdtpu_arbitrate.restype = ctypes.c_int64
+        lib.mdtpu_arbitrate.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
         lib.mdtpu_format_bedgraph.restype = ctypes.c_int64
         lib.mdtpu_format_bedgraph.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
@@ -195,3 +210,68 @@ def format_bedgraph(chrom: str, start, end, val, nm=None, nu=None):
     if w < 0:
         return None
     return out.raw[:w].decode("ascii")
+
+
+def pileup_channels(seq, qual, refpos, strand_arr, keep_base, ref_window,
+                    win_offset, win_start, win_end, min_phred):
+    """Fused native pileup, bit-equal to ops/semantics.pileup_channels
+    (parity-tested). Returns uint32 [W, 4], or None if the library isn't
+    built / inputs need the numpy path."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    n, l = seq.shape
+    seq = np.ascontiguousarray(seq, np.uint8)
+    qual = np.ascontiguousarray(qual, np.uint8)
+    refpos = np.ascontiguousarray(refpos, np.int32)
+    strand = np.ascontiguousarray(strand_arr, np.int32)
+    ref_window = np.ascontiguousarray(ref_window, np.uint8)
+    kb = None
+    if keep_base is not None and not keep_base.all():
+        kb = np.ascontiguousarray(keep_base, np.uint8)
+    W = win_end - win_start
+    counters = np.zeros((W, 4), np.uint32)
+
+    def ptr(a):
+        return None if a is None else a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.mdtpu_pileup(ptr(seq), ptr(qual), ptr(refpos), ptr(strand),
+                          ptr(kb), n, l, ptr(ref_window), len(ref_window),
+                          win_offset, win_start, win_end, int(min_phred),
+                          ptr(counters), os.cpu_count() or 1)
+    if rc != 0:
+        return None
+    return counters
+
+
+def arbitrate(seq, qual, refpos, strand_arr, a_idx, b_idx):
+    """Native mate-overlap arbitration for gapless pairs (bit-equal to the
+    semantics oracle; parity-tested). Mutates qual in place. Returns the
+    indices (into a_idx/b_idx) of pairs needing the exact per-pair Python
+    path, or None if the library isn't built / inputs are unsupported."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    if not (seq.flags.c_contiguous and qual.flags.c_contiguous
+            and seq.dtype == np.uint8 and qual.dtype == np.uint8):
+        return None
+    refpos = np.ascontiguousarray(refpos, np.int32)
+    strand = np.ascontiguousarray(strand_arr, np.int32)
+    a_idx = np.ascontiguousarray(a_idx, np.int64)
+    b_idx = np.ascontiguousarray(b_idx, np.int64)
+    p = len(a_idx)
+    fb = np.empty(p, np.int64)
+    n, l = seq.shape
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    nfb = lib.mdtpu_arbitrate(ptr(seq), ptr(qual), ptr(refpos), ptr(strand),
+                              n, l, ptr(a_idx), ptr(b_idx), p, ptr(fb))
+    if nfb < 0:
+        return None
+    return fb[:nfb]

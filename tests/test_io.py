@@ -172,3 +172,81 @@ def test_streaming_bai_builder_matches_inmemory():
             build_bai(BamFile(path), mem)
             build_bai_streaming(path, strm)
             assert open(mem, "rb").read() == open(strm, "rb").read(), name
+
+
+def test_native_pileup_parity():
+    """mdtpu_pileup vs the numpy oracle (ops/semantics.pileup_channels) on
+    randomized windows: sentinels, out-of-window spans, strand mix, phred
+    gate, and a BED-strand keep_base mask."""
+    import numpy as np
+    from methyldackel_tpu.io import native
+    from methyldackel_tpu.ops import semantics as sem
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        n, L, W = 300, 40, 512
+        win_start = 100
+        win_offset = 98
+        ref = rng.choice(np.frombuffer(b"ACGTN", np.uint8), W + 60)
+        seq = rng.integers(0, 16, (n, L)).astype(np.uint8)  # BAM nibble codes
+        qual = rng.integers(0, 42, (n, L)).astype(np.uint8)
+        start = rng.integers(win_start - L - 4, win_start + W + 4, n)
+        refpos = (start[:, None] + np.arange(L)[None, :]).astype(np.int32)
+        # sprinkle deletion/pad sentinels
+        refpos[rng.random((n, L)) < 0.05] = -1
+        strand = rng.integers(1, 5, n).astype(np.int32)
+        if trial % 2:
+            keep_base = rng.random((n, L)) < 0.8
+        else:
+            keep_base = np.ones((n, L), bool)
+        want = sem.pileup_channels(seq, qual, refpos, strand, keep_base,
+                                   ref, win_offset, win_start, win_start + W, 13)
+        got = native.pileup_channels(seq, qual, refpos, strand, keep_base,
+                                     ref, win_offset, win_start, win_start + W, 13)
+        assert got is not None
+        assert np.array_equal(got, want)
+
+
+def test_native_arbitrate_parity():
+    """mdtpu_arbitrate vs the oracle (ops/semantics.arbitrate_overlaps) on
+    randomized gapless + indel + clipped + strand-incompatible pairs."""
+    import numpy as np
+    from methyldackel_tpu.io import native
+    from methyldackel_tpu.ops import semantics as sem
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(23)
+    for trial in range(8):
+        n, L = 120, 50
+        seq = rng.integers(0, 16, (n, L)).astype(np.uint8)
+        qual = rng.integers(0, 64, (n, L)).astype(np.uint8)
+        start = rng.integers(0, 60, n).astype(np.int32)
+        refpos = start[:, None] + np.arange(L, dtype=np.int32)[None, :]
+        # soft-clip tails (valid prefix shorter than L)
+        nv = rng.integers(L // 2, L + 1, n)
+        refpos[np.arange(L)[None, :] >= nv[:, None]] = -1
+        # sprinkle mid-read deletions/skips into some rows (non-gapless)
+        gappy = rng.random(n) < 0.3
+        for i in np.nonzero(gappy)[0]:
+            j = rng.integers(2, L // 2)
+            refpos[i, j:] += rng.integers(1, 5)
+            refpos[i, np.arange(L) >= nv[i]] = -1
+        strand = rng.integers(1, 5, n).astype(np.int32)
+        a_idx = np.arange(0, n, 2, dtype=np.int64)
+        b_idx = a_idx + 1
+        q_want = qual.copy()
+        sem.arbitrate_overlaps(seq, q_want, refpos, strand, a_idx, b_idx)
+        q_got = qual.copy()
+        fb = native.arbitrate(seq, q_got, refpos, strand, a_idx, b_idx)
+        assert fb is not None
+        if len(fb):
+            sem._arbitrate_pairs_loop(seq, q_got, refpos, strand,
+                                      a_idx[fb], b_idx[fb])
+        assert np.array_equal(q_got, q_want)
