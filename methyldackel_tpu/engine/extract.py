@@ -189,24 +189,26 @@ def emit_window(cfg, chrom: str, tid: int, win_start: int, win_end: int,
     keep_vec = np.array([cfg.keepCpG, cfg.keepCHG, cfg.keepCHH, 0], dtype=bool)
     ctx_kept = keep_vec[ct]
 
-    has_data = counters[: len(base_idx)].any(axis=1)
-
     # Fast vectorized writer for the common case: plain per-C output, no
-    # context merging, no cytosine report, no BED coverage filter.
+    # context merging, no cytosine report, no BED coverage filter. Counter
+    # channels stay uint32 window-wide (per-column depths are far below
+    # 2^31, so sums can't wrap); only the emitted rows are widened.
     if not cfg.cytosine_report and not cfg.merge and covered is None:
-        nm_v = counters[: len(base_idx), 0].astype(np.int64)
-        nu_v = counters[: len(base_idx), 1].astype(np.int64)
-        noff_v = counters[: len(base_idx), 2].astype(np.int64)
-        nvar_v = counters[: len(base_idx), 3].astype(np.int64)
-        variant_mask = np.zeros(len(base_idx), dtype=bool)
+        nm_v = counters[: len(base_idx), 0]
+        nu_v = counters[: len(base_idx), 1]
+        cov_v = nm_v + nu_v
+        emit = ctx_kept & (cov_v > 0)
         if cfg.minOppositeDepth > 0:
+            noff_v = counters[: len(base_idx), 2].astype(np.int64)
+            nvar_v = counters[: len(base_idx), 3].astype(np.int64)
             with np.errstate(invalid="ignore", divide="ignore"):
                 frac = np.where(noff_v > 0, nvar_v / np.maximum(noff_v, 1), 0.0)
             variant_mask = (noff_v >= cfg.minOppositeDepth) & (frac >= cfg.maxVariantFrac)
-        emit = ctx_kept & ~variant_mask & ((nm_v + nu_v) > 0)
-        n_variant = int((ctx_kept & variant_mask & has_data).sum())
+            has_data = counters[: len(base_idx)].any(axis=1)
+            emit &= ~variant_mask
+            n_variant = int((ctx_kept & variant_mask & has_data).sum())
         if cfg.minDepth > 1:
-            emit &= (nm_v + nu_v) >= cfg.minDepth
+            emit &= cov_v >= cfg.minDepth
         if cfg.counts:
             # --counts layout (extract.c:60-63): chrom, start, end, coverage.
             for t in range(3):
@@ -267,6 +269,7 @@ def emit_window(cfg, chrom: str, tid: int, win_start: int, win_end: int,
             base_idx, ct, cd, ctx_kept, counters, covered)
         return WindowResult((lines0, [], []), n_variant)
 
+    has_data = counters[: len(base_idx)].any(axis=1)
     candidates = np.nonzero(ctx_kept & has_data)[0]
 
     last_cpg = LastCall()

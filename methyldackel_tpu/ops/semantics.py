@@ -103,33 +103,25 @@ def classify_context(seq: np.ndarray):
     n = len(seq)
     is_c = seq == REF_C
     is_g = seq == REF_G
-    next_g = np.zeros(n, bool)
-    next_g[:-1] = is_g[1:]
-    prev_c = np.zeros(n, bool)
-    prev_c[1:] = is_c[:-1]
-    next2_g = np.zeros(n, bool)
-    next2_g[:-2] = is_g[2:]
-    prev2_c = np.zeros(n, bool)
-    prev2_c[2:] = is_c[:-2]
-
-    idx = np.arange(n)
-    cpg_f = is_c & (idx + 1 < n) & next_g
-    cpg_r = is_g & (idx > 0) & prev_c
-    chg_f = is_c & (idx + 2 < n) & next2_g
-    chg_r = is_g & (idx > 1) & prev2_c
-    chh_f = is_c
-    chh_r = is_g
-
-    ctype = np.select(
-        [cpg_f | cpg_r, chg_f | chg_r, chh_f | chh_r],
-        [CTX_CPG, CTX_CHG, CTX_CHH],
-        default=CTX_NONE,
-    ).astype(np.int8)
-    cdir = np.select(
-        [cpg_f, cpg_r, chg_f, chg_r, chh_f, chh_r],
-        [1, -1, 1, -1, 1, -1],
-        default=0,
-    ).astype(np.int8)
+    # A CG at (i, i+1) marks both bases CpG; a C.G at (i, i+2) marks both
+    # CHG. Every C/G is at least CHH, so priority collapses to arithmetic:
+    # ctype = 3 - [C or G] - [CpG or CHG] - [CpG], and the direction is
+    # simply +1 at C, -1 at G, 0 elsewhere (the select lists were is_c /
+    # is_g partitioned).
+    cpg = np.zeros(n, bool)
+    chg = np.zeros(n, bool)
+    if n > 1:
+        pair = is_c[:-1] & is_g[1:]
+        cpg[:-1] = pair
+        cpg[1:] |= pair
+    if n > 2:
+        pair2 = is_c[:-2] & is_g[2:]
+        chg[:-2] = pair2
+        chg[2:] |= pair2
+    chh = is_c | is_g
+    ctype = (CTX_NONE - chh.astype(np.int8) - (cpg | chg).astype(np.int8)
+             - cpg.astype(np.int8))
+    cdir = is_c.astype(np.int8) - is_g.astype(np.int8)
     return ctype, cdir
 
 
@@ -148,6 +140,8 @@ def trim_alignment(seq, qual, l_qseq, strand_arr, flag, bounds16):
 
     Trims base indices [0, lb) and [rb, l_qseq) in place: qual→0, base→N.
     """
+    if not np.any(bounds16):
+        return seq, qual  # zero bounds trim nothing (lb = rb = 0 below)
     L = seq.shape[1]
     is_read2 = (flag & 0x80) != 0
     lb, rb = _bounds_per_read(strand_arr, is_read2, bounds16)
@@ -172,6 +166,8 @@ def trim_absolute(seq, qual, l_qseq, strand_arr, flag, bounds16):
     l_qseq-rb is KEPT (the top index lands one past the array and is a
     no-op here). The left loop trims [0, lb) exactly.
     """
+    if not np.any(bounds16):
+        return seq, qual  # zero bounds trim nothing (lb = rb = 0 below)
     L = seq.shape[1]
     is_read2 = (flag & 0x80) != 0
     lb, rb = _bounds_per_read(strand_arr, is_read2, bounds16)
