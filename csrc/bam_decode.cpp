@@ -102,12 +102,20 @@ void decode_range(const uint8_t* d, const std::vector<int64_t>& recs,
     std::memcpy(cigar_flat + cig_off[i], cig, 4ull * n_cigar);
     q += 4ull * n_cigar;
 
-    // unpack 4-bit bases
+    // unpack 4-bit bases: one 256-entry LUT store covers two output bytes
+    static const auto* nib_lut = [] {
+      static uint8_t lut[256][2];
+      for (int b = 0; b < 256; ++b) {
+        lut[b][0] = static_cast<uint8_t>(b >> 4);
+        lut[b][1] = static_cast<uint8_t>(b & 0xF);
+      }
+      return lut;
+    }();
     uint8_t* seq_out = seq_flat + base_off[i];
-    for (int32_t j = 0; j < l_seq; ++j) {
-      uint8_t byte = q[j >> 1];
-      seq_out[j] = (j & 1) ? (byte & 0xF) : (byte >> 4);
-    }
+    const int32_t half = l_seq >> 1;
+    for (int32_t j = 0; j < half; ++j)
+      std::memcpy(seq_out + 2 * j, nib_lut[q[j]], 2);
+    if (l_seq & 1) seq_out[l_seq - 1] = q[half] >> 4;
     q += (l_seq + 1) / 2;
     std::memcpy(qual_flat + base_off[i], q, l_seq);
     q += l_seq;
