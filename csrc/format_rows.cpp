@@ -72,4 +72,47 @@ int64_t mdtpu_format_bedgraph(const char* chrom, int64_t chrom_len,
   return p - out;
 }
 
+// Cytosine-report rows "chrom\tpos\t±\tnm\tnu\tC{G,HG,HH}\t<tri>\n"
+// (writeCall's cytosine_report branch + the 25-entry trinucleotide table,
+// extract.c:33-37,93-98). dir > 0 renders '+', else '-'; ctype indexes
+// {CG, CHG, CHH}; tnc indexes the table. Returns bytes written or -1.
+int64_t mdtpu_format_cytosine(const char* chrom, int64_t chrom_len,
+                              const int64_t* pos, const int8_t* dir,
+                              const int64_t* nm, const int64_t* nu,
+                              const int8_t* ctype, const int8_t* tnc,
+                              int64_t n, char* out, int64_t out_cap) {
+  static const char* kCtx[3] = {"CG", "CHG", "CHH"};
+  static const char kTri[25][4] = {
+      "CAA", "CAC", "CAG", "CAT", "CAN", "CCA", "CCC", "CCG", "CCT", "CCN",
+      "CGA", "CGC", "CGG", "CGT", "CGN", "CTA", "CTC", "CTG", "CTT", "CTN",
+      "CNA", "CNC", "CNG", "CNT", "CNN"};
+  const int64_t bound = chrom_len + 7 + 3 * 20 + 1 + 3 + 3;
+  char* p = out;
+  const char* lim = out + out_cap;
+  for (int64_t i = 0; i < n; ++i) {
+    if (lim - p < bound) return -1;
+    const int t = ctype[i];
+    const int x = tnc[i];
+    if (t < 0 || t > 2 || x < 0 || x > 24) return -1;
+    std::memcpy(p, chrom, chrom_len);
+    p += chrom_len;
+    *p++ = '\t';
+    p = itoa64(p, pos[i]);
+    *p++ = '\t';
+    *p++ = dir[i] > 0 ? '+' : '-';
+    *p++ = '\t';
+    p = itoa64(p, nm[i]);
+    *p++ = '\t';
+    p = itoa64(p, nu[i]);
+    *p++ = '\t';
+    const char* c = kCtx[t];
+    while (*c) *p++ = *c++;
+    *p++ = '\t';
+    std::memcpy(p, kTri[x], 3);
+    p += 3;
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
 }  // extern "C"

@@ -404,11 +404,15 @@ def _emit_cytosine_vectorized(cfg, chrom, win_start, win_offset, ref_window,
     row = np.where(mid_oob, 4, row)
     tnc_idx = (5 * row + col).astype(np.int64)
 
+    ctv = ct[emit]
+    pos1 = win_start + emit + 1
+    rows = native.format_cytosine(chrom, pos1, d, nm[emit], nu[emit],
+                                  ctv, tnc_idx)
+    if rows is not None:
+        return [rows], n_variant
     ctx_names = {sem.CTX_CPG: "CG", sem.CTX_CHG: "CHG", sem.CTX_CHH: "CHH"}
     strands = np.where(d > 0, "+", "-")
     tnc_tab = formats.TRI_NUCLEOTIDE_CONTEXTS
-    ctv = ct[emit]
-    pos1 = win_start + emit + 1
     lines = [
         f"{chrom}\t{p}\t{s}\t{m}\t{u}\t{ctx_names[t]}\t{tnc_tab[x]}\n"
         for p, s, m, u, t, x in zip(pos1, strands, nm[emit], nu[emit], ctv, tnc_idx)

@@ -145,14 +145,15 @@ def process_reads_gapless(cfg, seq, qual, pos, lq, strand, ref_window,
 
 
 def _has_indel_clip(bam, idx):
-    """Per-read: CIGAR contains I/S/D/N (op codes 1-4 except... I=1, D=2,
-    N=3, S=4) — those reads take the exact scalar walker."""
-    n = len(idx)
-    out = np.zeros(n, bool)
-    for k, i in enumerate(idx):
-        ops = bam.cigar(i) & 0xF
-        out[k] = bool(np.isin(ops, (1, 2, 3, 4)).any())
-    return out
+    """Per-read: CIGAR contains I/D/N/S (op codes 1-4) — those reads take
+    the exact scalar walker. Vectorized over the flat CIGAR array: a prefix
+    sum of per-op hits turns each read's any() into two lookups."""
+    ops = bam.cigar_flat & 0xF
+    hit = np.concatenate([[0], np.cumsum((ops >= 1) & (ops <= 4),
+                                         dtype=np.int64)])
+    co = bam.cigar_offsets
+    idx = np.asarray(idx)
+    return hit[co[idx + 1]] > hit[co[idx]]
 
 
 def add_read(qname: str, chrom: str, pos: int, n_meth: int, n_unmeth: int) -> str:

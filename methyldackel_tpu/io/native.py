@@ -69,6 +69,13 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.mdtpu_format_cytosine.restype = ctypes.c_int64
+        lib.mdtpu_format_cytosine.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
         lib.mdtpu_format_bedgraph.restype = ctypes.c_int64
         lib.mdtpu_format_bedgraph.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
@@ -197,7 +204,7 @@ def format_bedgraph(chrom: str, start, end, val, nm=None, nu=None):
     n = len(start)
     cb = chrom.encode()
     cap = n * (len(cb) + 6 + 5 * 20) + 1
-    out = ctypes.create_string_buffer(cap)
+    out = np.empty(cap, np.uint8)  # no memset (create_string_buffer zeroes)
 
     def ptr(a):
         return None if a is None else a.ctypes.data_as(ctypes.c_void_p)
@@ -206,10 +213,11 @@ def format_bedgraph(chrom: str, start, end, val, nm=None, nu=None):
         nm = np.ascontiguousarray(nm, np.int64)
         nu = np.ascontiguousarray(nu, np.int64)
     w = lib.mdtpu_format_bedgraph(cb, len(cb), ptr(start), ptr(end),
-                                  ptr(val), ptr(nm), ptr(nu), n, out, cap)
+                                  ptr(val), ptr(nm), ptr(nu), n,
+                                  out.ctypes.data_as(ctypes.c_char_p), cap)
     if w < 0:
         return None
-    return out.raw[:w].decode("ascii")
+    return out[:w].tobytes().decode("ascii")
 
 
 def pileup_channels(seq, qual, refpos, strand_arr, keep_base, ref_window,
@@ -275,3 +283,35 @@ def arbitrate(seq, qual, refpos, strand_arr, a_idx, b_idx):
     if nfb < 0:
         return None
     return fb[:nfb]
+
+
+def format_cytosine(chrom: str, pos, direction, nm, nu, ctype, tnc_idx):
+    """Concatenated cytosine-report rows (writeCall's cytosine_report
+    branch, extract.c:93-98). direction: +1 → '+', else '-'; ctype indexes
+    {CG, CHG, CHH}; tnc_idx the 25-entry trinucleotide table. Returns a
+    str, or None if the library isn't built."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, np.int64)
+    direction = np.ascontiguousarray(direction, np.int8)
+    nm = np.ascontiguousarray(nm, np.int64)
+    nu = np.ascontiguousarray(nu, np.int64)
+    ctype = np.ascontiguousarray(ctype, np.int8)
+    tnc_idx = np.ascontiguousarray(tnc_idx, np.int8)
+    n = len(pos)
+    cb = chrom.encode()
+    cap = n * (len(cb) + 7 + 3 * 20 + 7) + 1
+    out = np.empty(cap, np.uint8)  # no memset
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    w = lib.mdtpu_format_cytosine(cb, len(cb), ptr(pos), ptr(direction),
+                                  ptr(nm), ptr(nu), ptr(ctype), ptr(tnc_idx),
+                                  n, out.ctypes.data_as(ctypes.c_char_p), cap)
+    if w < 0:
+        return None
+    return out[:w].tobytes().decode("ascii")
