@@ -95,10 +95,19 @@ def run_scenarios(scenarios, workdir, engines):
                         pass
             env = dict(os.environ, MDTPU_ENGINE=engine,
                        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
-            r = subprocess.run(
-                [sys.executable, "-m", "methyldackel_tpu.cli", "extract"] + args,
-                cwd=d, env=env, capture_output=True, text=True, timeout=1800,
-            )
+            r = None
+            for attempt in range(2):
+                r = subprocess.run(
+                    [sys.executable, "-m", "methyldackel_tpu.cli", "extract"] + args,
+                    cwd=d, env=env, capture_output=True, text=True, timeout=1800,
+                )
+                if r.returncode == 0:
+                    if attempt:
+                        print(f"NOTE {name} [{engine}] passed on retry "
+                              f"(first attempt crashed — tunnel flake?)")
+                    break
+                sys.stderr.write(f"--- {name} [{engine}] attempt {attempt} "
+                                 f"rc={r.returncode} stderr ---\n{r.stderr}\n")
             if r.returncode != 0:
                 print(f"FAIL {name} [{engine}] rc={r.returncode}: {r.stderr[-300:]}")
                 fails.append((name, engine))
@@ -134,6 +143,8 @@ def main():
         if f.endswith((".fa", ".bam", ".bai", ".fai")):
             shutil.copy(os.path.join(FIXTURES, f), workdir)
     scenarios = SCENARIOS + gen_synthetic(workdir)
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        scenarios = [s for s in scenarios if sys.argv[2] in s[0]]
     fails = run_scenarios(scenarios, workdir, ["host", "jax", "mesh"])
     shutil.rmtree(workdir, ignore_errors=True)
     if fails:
