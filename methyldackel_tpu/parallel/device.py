@@ -223,9 +223,19 @@ def arbitrate_device(seq, qual, refpos, strand, pair_a, pair_b, pair_valid, ovw)
 
     qa_new = gather(new_dqa, offa_c, va, qa).astype(jnp.uint8)
     qb_new = gather(new_dqb, offb_c, vb, qb).astype(jnp.uint8)
-    qual = qual.at[pair_a].set(qa_new)
-    qual = qual.at[pair_b].set(qb_new)
-    return qual
+    # Route the rewritten rows back with a row GATHER instead of a 2-D row
+    # scatter: the TPU backend aborts compiling the scatter fused with the
+    # lane-index gathers above (GatherType::kSublaneGather CHECK; seen with
+    # P >= 2 on real hardware). Scatter only the 1-D source map, then take
+    # rows from concat(orig, na, nb) — the same final_src trick the fused
+    # window uses. Pad pairs may alias a row twice; they rewrite it with its
+    # own unchanged quals (pair_valid=False ⇒ has=False ⇒ identity).
+    nrows = qual.shape[0]
+    src = jnp.arange(nrows, dtype=jnp.int32)
+    src = src.at[pair_a].set(nrows + jnp.arange(P, dtype=jnp.int32))
+    src = src.at[pair_b].set(nrows + P + jnp.arange(P, dtype=jnp.int32))
+    return jnp.take(jnp.concatenate([qual, qa_new, qb_new], axis=0), src,
+                    axis=0)
 
 
 def pileup_device(seq, qual, refpos, strand, keep_read, keep_base, ref,
