@@ -245,3 +245,34 @@ def test_eq_base_code_routes_exact(monkeypatch):
     backend = make_device_backend(cfg)
     got = backend(cfg, copy.deepcopy(batch), st, keep, ref_ascii, 0, 0, W)
     np.testing.assert_array_equal(host, got)
+
+
+def test_arbitrate_device_pad_pairs_alias_row():
+    """Pad pairs (pair_valid=False) may point both mates at the same row
+    (the fused path's NH-1 convention); the gather-based row routing must
+    leave that row's quals untouched and still rewrite real pairs."""
+    import numpy as np
+    import jax.numpy as jnp
+    from methyldackel_tpu.ops import semantics as sem
+    from methyldackel_tpu.parallel import device as dev
+
+    rng = np.random.default_rng(5)
+    n, L = 8, 32
+    seq = rng.integers(0, 16, (n, L)).astype(np.uint8)
+    qual = rng.integers(0, 42, (n, L)).astype(np.uint8)
+    start = rng.integers(0, 10, n).astype(np.int32)
+    refpos = start[:, None] + np.arange(L, dtype=np.int32)[None, :]
+    strand = np.ones(n, np.int32)
+    # one real pair (0, 1) + two pad pairs aliasing row n-1
+    pair_a = np.array([0, n - 1, n - 1], np.int32)
+    pair_b = np.array([1, n - 1, n - 1], np.int32)
+    pv = np.array([True, False, False])
+    want = qual.copy()
+    sem.arbitrate_overlaps(seq, want, refpos, strand,
+                           pair_a[:1].astype(np.int64),
+                           pair_b[:1].astype(np.int64))
+    got = np.asarray(dev.arbitrate_device(
+        jnp.asarray(seq), jnp.asarray(qual),
+        jnp.asarray(refpos), jnp.asarray(strand),
+        jnp.asarray(pair_a), jnp.asarray(pair_b), jnp.asarray(pv), 128))
+    assert np.array_equal(got, want)
