@@ -12,7 +12,9 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+#ifdef HAVE_LIBDEFLATE
 #include <libdeflate.h>
+#endif
 #include <zlib.h>
 
 namespace {
@@ -80,8 +82,10 @@ bool inflate_block_zlib(const uint8_t* src, int64_t srclen, uint8_t* dst,
   return rc == Z_STREAM_END && zs.total_out == static_cast<uLong>(dstlen);
 }
 
+#ifdef HAVE_LIBDEFLATE
 // libdeflate's raw-deflate decoder is ~2-3x zlib's; one reusable
-// decompressor per worker thread. Falls back to zlib on any failure.
+// decompressor per worker thread. Any per-block failure retries with
+// zlib (libdeflate is stricter about some streams zlib accepts).
 bool inflate_block(libdeflate_decompressor* dec, const uint8_t* src,
                    int64_t srclen, uint8_t* dst, int64_t dstlen) {
   if (dec) {
@@ -89,10 +93,20 @@ bool inflate_block(libdeflate_decompressor* dec, const uint8_t* src,
     libdeflate_result r = libdeflate_deflate_decompress(
         dec, src, static_cast<size_t>(srclen), dst,
         static_cast<size_t>(dstlen), &actual);
-    return r == LIBDEFLATE_SUCCESS && actual == static_cast<size_t>(dstlen);
+    if (r == LIBDEFLATE_SUCCESS && actual == static_cast<size_t>(dstlen))
+      return true;
   }
   return inflate_block_zlib(src, srclen, dst, dstlen);
 }
+#else
+typedef void libdeflate_decompressor;
+inline libdeflate_decompressor* libdeflate_alloc_decompressor() { return nullptr; }
+inline void libdeflate_free_decompressor(libdeflate_decompressor*) {}
+bool inflate_block(libdeflate_decompressor*, const uint8_t* src,
+                   int64_t srclen, uint8_t* dst, int64_t dstlen) {
+  return inflate_block_zlib(src, srclen, dst, dstlen);
+}
+#endif
 
 }  // namespace
 

@@ -148,12 +148,19 @@ def _has_indel_clip(bam, idx):
     """Per-read: CIGAR contains I/D/N/S (op codes 1-4) — those reads take
     the exact scalar walker. Vectorized over the flat CIGAR array: a prefix
     sum of per-op hits turns each read's any() into two lookups."""
-    ops = bam.cigar_flat & 0xF
-    hit = np.concatenate([[0], np.cumsum((ops >= 1) & (ops <= 4),
-                                         dtype=np.int64)])
-    co = bam.cigar_offsets
-    idx = np.asarray(idx)
-    return hit[co[idx + 1]] > hit[co[idx]]
+    cached = getattr(bam, "_indel_clip_rows", None)
+    if cached is None:
+        ops = bam.cigar_flat & 0xF
+        hit = np.concatenate([[0], np.cumsum((ops >= 1) & (ops <= 4),
+                                             dtype=np.int64)])
+        co = bam.cigar_offsets
+        cached = hit[co[1:]] > hit[co[:-1]]
+        try:
+            # whole-file SoA objects serve every window; compute once
+            bam._indel_clip_rows = cached
+        except AttributeError:
+            pass
+    return cached[np.asarray(idx)]
 
 
 def add_read(qname: str, chrom: str, pos: int, n_meth: int, n_unmeth: int) -> str:

@@ -96,7 +96,11 @@ def run_scenarios(scenarios, workdir, engines):
             env = dict(os.environ, MDTPU_ENGINE=engine,
                        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
             r = None
-            for attempt in range(2):
+            # Only the device engines ride the remote-compile tunnel; a
+            # host-engine crash is a product bug and must not be retried
+            # into a green run.
+            attempts = 2 if engine in ("jax", "mesh") else 1
+            for attempt in range(attempts):
                 r = subprocess.run(
                     [sys.executable, "-m", "methyldackel_tpu.cli", "extract"] + args,
                     cwd=d, env=env, capture_output=True, text=True, timeout=1800,
