@@ -12,6 +12,7 @@
 // caller reproduces bit-for-bit); this file only does decimal rendering,
 // which is base-10 exact.
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 
 namespace {
@@ -67,6 +68,67 @@ int64_t mdtpu_format_bedgraph(const char* chrom, int64_t chrom_len,
       *p++ = '\t';
       p = itoa64(p, nu[i]);
     }
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+// Float-value rows "chrom\tstart\tend\t%f\n" (the --fraction / --logit
+// layouts, extract.c:57-59 / 64-67; the value is precomputed by the
+// caller, including logit's ±inf which %f renders as the C does).
+// Returns bytes written or -1.
+int64_t mdtpu_format_float_rows(const char* chrom, int64_t chrom_len,
+                                const int64_t* start, const int64_t* end,
+                                const double* val, int64_t n, char* out,
+                                int64_t out_cap) {
+  const int64_t bound = chrom_len + 4 + 2 * 20 + 348;  // %f worst case
+  char* p = out;
+  const char* lim = out + out_cap;
+  for (int64_t i = 0; i < n; ++i) {
+    if (lim - p < bound) return -1;
+    std::memcpy(p, chrom, chrom_len);
+    p += chrom_len;
+    *p++ = '\t';
+    p = itoa64(p, start[i]);
+    *p++ = '\t';
+    p = itoa64(p, end[i]);
+    *p++ = '\t';
+    p += std::snprintf(p, lim - p, "%f", val[i]);
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+// methylKit rows "chrom.pos\tchrom\tpos\tF|R\tcov\t%6.2f\t%6.2f\n"
+// (writeCall's methylKit branch, extract.c:68-92). strand_f nonzero → 'F'.
+// Returns bytes written or -1.
+int64_t mdtpu_format_methylkit(const char* chrom, int64_t chrom_len,
+                               const int64_t* pos1, const uint8_t* strand_f,
+                               const int64_t* nm, const int64_t* nu,
+                               int64_t n, char* out, int64_t out_cap) {
+  const int64_t bound = 2 * chrom_len + 8 + 3 * 20 + 2 * 32;
+  char* p = out;
+  const char* lim = out + out_cap;
+  for (int64_t i = 0; i < n; ++i) {
+    if (lim - p < bound) return -1;
+    std::memcpy(p, chrom, chrom_len);
+    p += chrom_len;
+    *p++ = '.';
+    p = itoa64(p, pos1[i]);
+    *p++ = '\t';
+    std::memcpy(p, chrom, chrom_len);
+    p += chrom_len;
+    *p++ = '\t';
+    p = itoa64(p, pos1[i]);
+    *p++ = '\t';
+    *p++ = strand_f[i] ? 'F' : 'R';
+    *p++ = '\t';
+    const int64_t cov = nm[i] + nu[i];
+    p = itoa64(p, cov);
+    *p++ = '\t';
+    const double fc = 100.0 * static_cast<double>(nm[i]) / cov;
+    const double ft = 100.0 * static_cast<double>(nu[i]) / cov;
+    p += std::snprintf(p, lim - p, "%6.2f\t%6.2f", fc, ft);
     *p++ = '\n';
   }
   return p - out;

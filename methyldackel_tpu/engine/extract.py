@@ -228,15 +228,43 @@ def emit_window(cfg, chrom: str, tid: int, win_start: int, win_end: int,
                 lines[t].append(rows)
             return WindowResult(lines, n_variant)
         if (cfg.fraction or cfg.logit or cfg.methylKit):
-            for w in np.nonzero(emit)[0]:
-                pos = win_start + int(w)
-                t = int(ct[w])
-                line = formats.write_call(cfg, chrom, pos, 1, int(nm_v[w]),
-                                          int(nu_v[w]),
-                                          int(ref_window[w + (win_start - win_offset)]),
-                                          None, None)
-                if line:
-                    lines[t].append(line)
+            for t in range(3):
+                if not keep_vec[t]:
+                    continue
+                w = np.nonzero(emit & (ct == t))[0]
+                if len(w) == 0:
+                    continue
+                nm_t = nm_v[w].astype(np.int64)
+                nu_t = nu_v[w].astype(np.int64)
+                pos_t = win_start + w
+                rows = None
+                if cfg.methylKit:
+                    base_t = ref_window[w + (win_start - win_offset)]
+                    strand_f = (base_t == REF_C) | (base_t == ord("c"))
+                    rows = native.format_methylkit(chrom, pos_t + 1, strand_f,
+                                                   nm_t, nu_t)
+                else:
+                    # fraction / logit values in float64, exactly writeCall's
+                    # double math (extract.c:57-67)
+                    p = nm_t / (nm_t + nu_t)
+                    if cfg.logit:
+                        with np.errstate(divide="ignore"):
+                            # log(1.0 - p), NOT log1p(-p): must match the
+                            # C's double expression bit-for-bit
+                            val = np.where(p <= 0.0, -np.inf, np.log(p)) - \
+                                  np.where(p >= 1.0, -np.inf, np.log(1.0 - p))
+                    else:
+                        val = p
+                    rows = native.format_float_rows(chrom, pos_t, pos_t + 1, val)
+                if rows is None:
+                    rows = "".join(
+                        filter(None, (
+                            formats.write_call(
+                                cfg, chrom, int(pw), 1, int(m), int(u),
+                                int(ref_window[int(wi) + (win_start - win_offset)]),
+                                None, None)
+                            for pw, m, u, wi in zip(pos_t, nm_t, nu_t, w))))
+                lines[t].append(rows)
             return WindowResult(lines, n_variant)
         # Default bedGraph: batch-format each context's rows in one pass
         # (Python-level np-scalar indexing per row is ~3x slower). The C's

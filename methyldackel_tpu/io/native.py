@@ -69,6 +69,18 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.mdtpu_format_float_rows.restype = ctypes.c_int64
+        lib.mdtpu_format_float_rows.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.mdtpu_format_methylkit.restype = ctypes.c_int64
+        lib.mdtpu_format_methylkit.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
         lib.mdtpu_format_cytosine.restype = ctypes.c_int64
         lib.mdtpu_format_cytosine.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
@@ -312,6 +324,63 @@ def format_cytosine(chrom: str, pos, direction, nm, nu, ctype, tnc_idx):
     w = lib.mdtpu_format_cytosine(cb, len(cb), ptr(pos), ptr(direction),
                                   ptr(nm), ptr(nu), ptr(ctype), ptr(tnc_idx),
                                   n, out.ctypes.data_as(ctypes.c_char_p), cap)
+    if w < 0:
+        return None
+    return out[:w].tobytes().decode("ascii")
+
+
+def format_float_rows(chrom: str, start, end, val):
+    """Concatenated "chrom\\tstart\\tend\\t%f\\n" rows (--fraction/--logit
+    layouts, extract.c:57-67); val is float64 (±inf allowed). Returns a
+    str, or None if the library isn't built."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    start = np.ascontiguousarray(start, np.int64)
+    end = np.ascontiguousarray(end, np.int64)
+    val = np.ascontiguousarray(val, np.float64)
+    n = len(start)
+    cb = chrom.encode()
+    cap = n * (len(cb) + 4 + 2 * 20 + 348) + 1
+    out = np.empty(cap, np.uint8)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    w = lib.mdtpu_format_float_rows(cb, len(cb), ptr(start), ptr(end),
+                                    ptr(val), n,
+                                    out.ctypes.data_as(ctypes.c_char_p), cap)
+    if w < 0:
+        return None
+    return out[:w].tobytes().decode("ascii")
+
+
+def format_methylkit(chrom: str, pos1, strand_f, nm, nu):
+    """Concatenated methylKit rows (writeCall's methylKit branch,
+    extract.c:68-92). strand_f nonzero → 'F'. Returns a str, or None if
+    the library isn't built."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    pos1 = np.ascontiguousarray(pos1, np.int64)
+    strand_f = np.ascontiguousarray(strand_f, np.uint8)
+    nm = np.ascontiguousarray(nm, np.int64)
+    nu = np.ascontiguousarray(nu, np.int64)
+    n = len(pos1)
+    cb = chrom.encode()
+    cap = n * (2 * len(cb) + 8 + 3 * 20 + 2 * 32) + 1
+    out = np.empty(cap, np.uint8)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    w = lib.mdtpu_format_methylkit(cb, len(cb), ptr(pos1), ptr(strand_f),
+                                   ptr(nm), ptr(nu), n,
+                                   out.ctypes.data_as(ctypes.c_char_p), cap)
     if w < 0:
         return None
     return out[:w].tobytes().decode("ascii")

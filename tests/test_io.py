@@ -250,3 +250,42 @@ def test_native_arbitrate_parity():
             sem._arbitrate_pairs_loop(seq, q_got, refpos, strand,
                                       a_idx[fb], b_idx[fb])
         assert np.array_equal(q_got, q_want)
+
+
+def test_native_format_parity_float_methylkit():
+    """Batched native fraction/logit/methylKit rows vs the per-row
+    write_call oracle across edge fractions (0, 1, ties, big counts)."""
+    import numpy as np
+    from methyldackel_tpu.io import native
+    from methyldackel_tpu.engine import formats
+    from methyldackel_tpu.config import Config
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    nm = np.array([0, 1, 1, 2, 999999, 3, 7], np.int64)
+    nu = np.array([5, 0, 1, 3, 1, 999999, 13], np.int64)
+    pos = np.array([0, 9, 99, 999, 123456789, 54, 7], np.int64)
+    chrom = "chr_test.1"
+    for mode in ("fraction", "logit", "methylKit"):
+        cfg = Config()
+        setattr(cfg, "fraction" if mode == "fraction" else
+                "logit" if mode == "logit" else "methylKit", True)
+        want = "".join(
+            formats.write_call(cfg, chrom, int(p), 1, int(m), int(u),
+                               ord("C") if i % 2 else ord("G"), None, None)
+            for i, (p, m, u) in enumerate(zip(pos, nm, nu)))
+        if mode == "methylKit":
+            strand_f = np.array([i % 2 == 1 for i in range(len(pos))])
+            got = native.format_methylkit(chrom, pos + 1, strand_f, nm, nu)
+        else:
+            p = nm / (nm + nu)
+            if mode == "logit":
+                with np.errstate(divide="ignore"):
+                    val = (np.where(p <= 0.0, -np.inf, np.log(p))
+                           - np.where(p >= 1.0, -np.inf, np.log(1.0 - p)))
+            else:
+                val = p
+            got = native.format_float_rows(chrom, pos, pos + 1, val)
+        assert got == want, f"{mode}:\n{got!r}\n{want!r}"
