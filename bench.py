@@ -306,6 +306,11 @@ def main():
                                                          "jax"))
         result["cli_reads_per_s"] = round(cli_rps, 1)
         result["cli_n_reads"] = cli_n
+        # The exact host engine is the other production path (auto picks it
+        # with no TPU attached); report both so the engine tradeoff on this
+        # host/tunnel is visible.
+        host_cli_rps, _ = bench_cli(cli_pairs, L, 1 << 23, engine="host")
+        result["cli_host_reads_per_s"] = round(host_cli_rps, 1)
     print(json.dumps(result))
 
 
