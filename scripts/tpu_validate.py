@@ -148,7 +148,8 @@ def main():
             shutil.copy(os.path.join(FIXTURES, f), workdir)
     scenarios = SCENARIOS + gen_synthetic(workdir)
     if len(sys.argv) > 2 and sys.argv[1] == "--only":
-        scenarios = [s for s in scenarios if sys.argv[2] in s[0]]
+        keys = sys.argv[2].split(",")
+        scenarios = [s for s in scenarios if any(k in s[0] for k in keys)]
     fails = run_scenarios(scenarios, workdir, ["host", "jax", "mesh"])
     shutil.rmtree(workdir, ignore_errors=True)
     if fails:
