@@ -12,9 +12,7 @@
 #include <cstring>
 #include <thread>
 #include <vector>
-#ifdef HAVE_LIBDEFLATE
-#include <libdeflate.h>
-#endif
+#include <dlfcn.h>
 #include <zlib.h>
 
 namespace {
@@ -82,31 +80,67 @@ bool inflate_block_zlib(const uint8_t* src, int64_t srclen, uint8_t* dst,
   return rc == Z_STREAM_END && zs.total_out == static_cast<uLong>(dstlen);
 }
 
-#ifdef HAVE_LIBDEFLATE
-// libdeflate's raw-deflate decoder is ~2-3x zlib's; one reusable
-// decompressor per worker thread. Any per-block failure retries with
+// libdeflate's raw-deflate decoder is ~2-3x zlib's. It is resolved at
+// RUNTIME via dlopen — never linked — so the shipped .so loads on hosts
+// without libdeflate and transparently falls back to zlib there (a
+// hard-linked build previously failed ctypes.CDLL on such hosts, silently
+// disabling every native kernel). Any per-block failure also retries with
 // zlib (libdeflate is stricter about some streams zlib accepts).
+typedef void* libdeflate_decompressor;
+typedef libdeflate_decompressor* (*ld_alloc_fn)();
+typedef void (*ld_free_fn)(libdeflate_decompressor*);
+// libdeflate_result: 0 == LIBDEFLATE_SUCCESS
+typedef int (*ld_decomp_fn)(libdeflate_decompressor*, const void*, size_t,
+                            void*, size_t, size_t*);
+
+struct LibDeflateApi {
+  ld_alloc_fn alloc = nullptr;
+  ld_free_fn release = nullptr;
+  ld_decomp_fn decompress = nullptr;
+  LibDeflateApi() {
+    void* h = dlopen("libdeflate.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!h) h = dlopen("libdeflate.so", RTLD_NOW | RTLD_LOCAL);
+    if (!h) return;
+    alloc = reinterpret_cast<ld_alloc_fn>(
+        dlsym(h, "libdeflate_alloc_decompressor"));
+    release = reinterpret_cast<ld_free_fn>(
+        dlsym(h, "libdeflate_free_decompressor"));
+    decompress = reinterpret_cast<ld_decomp_fn>(
+        dlsym(h, "libdeflate_deflate_decompress"));
+    if (!alloc || !release || !decompress) {
+      alloc = nullptr;
+      release = nullptr;
+      decompress = nullptr;
+    }
+  }
+};
+
+const LibDeflateApi& libdeflate_api() {
+  static LibDeflateApi api;  // thread-safe static init
+  return api;
+}
+
+libdeflate_decompressor* libdeflate_alloc_decompressor() {
+  const LibDeflateApi& api = libdeflate_api();
+  return api.alloc ? api.alloc() : nullptr;
+}
+
+void libdeflate_free_decompressor(libdeflate_decompressor* dec) {
+  const LibDeflateApi& api = libdeflate_api();
+  if (api.release && dec) api.release(dec);
+}
+
 bool inflate_block(libdeflate_decompressor* dec, const uint8_t* src,
                    int64_t srclen, uint8_t* dst, int64_t dstlen) {
   if (dec) {
     size_t actual = 0;
-    libdeflate_result r = libdeflate_deflate_decompress(
+    int r = libdeflate_api().decompress(
         dec, src, static_cast<size_t>(srclen), dst,
         static_cast<size_t>(dstlen), &actual);
-    if (r == LIBDEFLATE_SUCCESS && actual == static_cast<size_t>(dstlen))
-      return true;
+    if (r == 0 && actual == static_cast<size_t>(dstlen)) return true;
   }
   return inflate_block_zlib(src, srclen, dst, dstlen);
 }
-#else
-typedef void libdeflate_decompressor;
-inline libdeflate_decompressor* libdeflate_alloc_decompressor() { return nullptr; }
-inline void libdeflate_free_decompressor(libdeflate_decompressor*) {}
-bool inflate_block(libdeflate_decompressor*, const uint8_t* src,
-                   int64_t srclen, uint8_t* dst, int64_t dstlen) {
-  return inflate_block_zlib(src, srclen, dst, dstlen);
-}
-#endif
 
 }  // namespace
 
@@ -160,6 +194,11 @@ int64_t mdtpu_bgzf_decompress(const char* data, int64_t len, char* out,
   for (size_t i = 0; i < nb; ++i)
     if (!ok[i]) return -1;
   return total;
+}
+
+// Introspection: 1 if libdeflate was resolved at runtime, else 0 (zlib-only).
+int mdtpu_uses_libdeflate() {
+  return libdeflate_api().decompress ? 1 : 0;
 }
 
 }  // extern "C"

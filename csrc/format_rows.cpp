@@ -49,6 +49,7 @@ int64_t mdtpu_format_bedgraph(const char* chrom, int64_t chrom_len,
                               const int64_t* nu, int64_t n, char* out,
                               int64_t out_cap) {
   // Worst case per row: chrom + 6 separators + 5 numbers of <= 20 digits.
+  if ((nm == nullptr) != (nu == nullptr)) return -1;  // both-or-neither
   const int64_t bound = chrom_len + 6 + 5 * 20;
   char* p = out;
   const char* lim = out + out_cap;
@@ -124,6 +125,7 @@ int64_t mdtpu_format_methylkit(const char* chrom, int64_t chrom_len,
     *p++ = strand_f[i] ? 'F' : 'R';
     *p++ = '\t';
     const int64_t cov = nm[i] + nu[i];
+    if (cov <= 0) return -1;  // zero-coverage row → caller's Python path
     p = itoa64(p, cov);
     *p++ = '\t';
     const double fc = 100.0 * static_cast<double>(nm[i]) / cov;

@@ -96,7 +96,18 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64,
         ]
         _LIB = lib
-    except (OSError, AttributeError):
+    except (OSError, AttributeError) as exc:
+        # The artifact exists but can't be loaded (missing runtime dep, ABI
+        # mismatch, stale build). Warn once: silently dropping to the pure
+        # Python paths is a large, invisible performance regression.
+        import sys
+
+        print(
+            f"[methyldackel_tpu] WARNING: native library {path} exists but "
+            f"failed to load ({exc}); falling back to pure-Python kernels "
+            f"(rebuild with `make -C csrc`)",
+            file=sys.stderr,
+        )
         _LIB = None
     return _LIB
 
@@ -210,6 +221,9 @@ def format_bedgraph(chrom: str, start, end, val, nm=None, nu=None):
     lib = _load()
     if lib is None:
         return None
+    if (nm is None) != (nu is None):
+        raise ValueError("format_bedgraph: nm and nu must both be given "
+                         "or both be None")
     start = np.ascontiguousarray(start, np.int64)
     end = np.ascontiguousarray(end, np.int64)
     val = np.ascontiguousarray(val, np.int64)

@@ -496,6 +496,48 @@ def filter_reads(cfg, batch, strand_arr, mappability=None):
     return keep, flag.astype(np.uint16)
 
 
+# Two-level bit-rank structure for mappability tracks. A flat int64 prefix
+# sum over a 100 Mb chromosome is an ~800 MB allocation that thrashes small
+# hosts; packing the track to bits (L/8 bytes) plus an in-block uint16
+# exclusive byte-prefix and a block-level int64 prefix costs ~L/2.6 bytes
+# total (~38 MB for 100 Mb) with O(1) rank queries.
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+# _MASK_HI[r] keeps the top r bits of a (big-endian packed) byte; r=0 → 0.
+_MASK_HI = np.array([(0xFF << (8 - r)) & 0xFF if r else 0 for r in range(8)],
+                    dtype=np.uint8)
+_MAPP_BLOCK_BYTES = 512  # 4096 bits/block → in-block prefix fits uint16
+
+
+def _build_mapp_rank(bits):
+    """Build (packed, inblock_excl, block_pref, L) rank index for a 0/1
+    track. rank(x) = #set bits in bits[:x] for 0 <= x <= L."""
+    bits = np.asarray(bits, dtype=bool)
+    L = len(bits)
+    packed = np.packbits(bits)  # big-endian within each byte
+    BB = _MAPP_BLOCK_BYTES
+    # +1 spare block so byte index len(packed) (x == L, L % 8 == 0) is valid
+    nblocks = (len(packed) + BB - 1) // BB + 1
+    byte_pop = np.zeros(nblocks * BB, dtype=np.uint16)
+    byte_pop[: len(packed)] = _POP8[packed]
+    blocks = byte_pop.reshape(nblocks, BB)
+    inc = np.cumsum(blocks, axis=1, dtype=np.uint16)  # block max 4096 < 2^16
+    block_pref = np.zeros(nblocks + 1, dtype=np.int64)
+    np.cumsum(inc[:, -1], dtype=np.int64, out=block_pref[1:])
+    inblock_excl = np.zeros_like(inc)
+    inblock_excl[:, 1:] = inc[:, :-1]
+    return packed, inblock_excl.reshape(-1), block_pref, L
+
+
+def _mapp_rank(idx, x):
+    """Vectorized rank over the _build_mapp_rank structure (x in [0, L])."""
+    packed, inblock_excl, block_pref, _L = idx
+    nb = x >> 3
+    rem = x & 7
+    f = block_pref[nb // _MAPP_BLOCK_BYTES] + inblock_excl[nb]
+    pb = packed[np.minimum(nb, len(packed) - 1)]
+    return f + _POP8[pb & _MASK_HI[rem]]
+
+
 def check_mappability(cfg, batch, mappability):
     """check_mappability (common.c:277-335): a read passes if either mate's
     assumed span (mate span approximated with this read's l_qseq) contains
@@ -503,18 +545,18 @@ def check_mappability(cfg, batch, mappability):
     coordinate (unmapped mate, mpos=-1) read as all-unmappable, matching the
     uint32 wraparound in the C.
 
-    Vectorized: per-chromosome prefix sums (cached on cfg) turn each span
-    count into two lookups, so reference-scale tracks (whole human Bismap)
-    cost O(reads) instead of O(reads × read_len)."""
+    Vectorized: per-chromosome two-level bit-rank indexes (cached on cfg)
+    turn each span count into O(1) lookups, so reference-scale tracks
+    (whole human Bismap) cost O(reads) time and ~L/2.6 bytes memory."""
     out = np.zeros(batch.n, dtype=bool)
     if cfg.minMappableBases <= 0:
         # span counts are always >= 0, so every read passes (loop parity:
         # `cnt >= minMappableBases` with cnt = 0 still increments ok)
         out[:] = True
         return out
-    cache = getattr(cfg, "_mapp_prefix_by_tid", None)
+    cache = getattr(cfg, "_mapp_rank_by_tid", None)
     if cache is None:
-        cache = cfg._mapp_prefix_by_tid = {}
+        cache = cfg._mapp_rank_by_tid = {}
     lq = np.asarray(batch.l_qseq, np.int64)
     pos = np.asarray(batch.pos, np.int64)
     mpos = np.asarray(batch.mpos, np.int64)
@@ -524,17 +566,18 @@ def check_mappability(cfg, batch, mappability):
         bits = mappability.get(tid)
         if bits is None:
             continue  # both spans count 0 → filtered (out stays False)
-        pref = cache.get(tid)
-        if pref is None:
-            pref = cache[tid] = np.concatenate(
-                [[0], np.cumsum(bits, dtype=np.int64)])
+        idx = cache.get(tid)
+        if idx is None:
+            idx = cache[tid] = _build_mapp_rank(bits)
         rows = np.nonzero(np.asarray(batch.tid) == tid)[0]
-        L = len(bits)
+        L = idx[3]
 
         def span_count(s):
             e0 = np.clip(s + lq[rows], 0, L)
             s0 = np.clip(s, 0, L)
-            return np.where(s < 0, 0, pref[e0] - pref[np.minimum(s0, e0)])
+            return np.where(
+                s < 0, 0,
+                _mapp_rank(idx, e0) - _mapp_rank(idx, np.minimum(s0, e0)))
 
         out[rows] = (span_count(pos[rows]) >= min_ok) | (
             span_count(mpos[rows]) >= min_ok)

@@ -64,6 +64,22 @@ SCENARIOS = [
       "v16_CHH.counts.bedGraph"]),
 ]
 
+# Device-backend coverage beyond extract (VERDICT r2 missing #1): the mbias
+# and perRead device paths (parallel/device.py mbias_device/perread_device)
+# byte-compared across engines on hardware. "@stdout" compares captured
+# stdout instead of a file.
+SUBCOMMAND_SCENARIOS = [
+    ("mbias_txt", "mbias",
+     ["--txt", "--noSVG", "-q", "2", "cg100.fa", "cg_aln.bam"], ["@stdout"]),
+    ("mbias_chgchh", "mbias",
+     ["--txt", "--noSVG", "--CHG", "--CHH", "chgchh.fa", "chgchh_aln.bam"],
+     ["@stdout"]),
+    ("perread_cg", "perRead", ["-q", "2", "cg100.fa", "cg_aln.bam"],
+     ["@stdout"]),
+    ("perread_ct", "perRead", ["-q", "2", "ct100.fa", "ct_aln.bam"],
+     ["@stdout"]),
+]
+
 
 def gen_synthetic(d):
     """Synthetic suites: indels + heavy overlap (tests/test_synthetic_e2e
@@ -79,10 +95,19 @@ def gen_synthetic(d):
                               "-o", "vs1"], ["vs1_CpG.bedGraph"])]
 
 
+RETRIED = []  # (scenario, engine) that only passed on a retry
+
+
 def run_scenarios(scenarios, workdir, engines):
     fails = []
-    for name, args, outputs in scenarios:
+    for entry in scenarios:
+        if len(entry) == 4:
+            name, subcmd, args, outputs = entry
+        else:
+            name, args, outputs = entry
+            subcmd = "extract"
         outs = {}
+        stdouts = {}
         for engine in engines:
             d = os.path.join(workdir, f"{name}.{engine}")
             os.makedirs(d, exist_ok=True)
@@ -102,13 +127,14 @@ def run_scenarios(scenarios, workdir, engines):
             attempts = 2 if engine in ("jax", "mesh") else 1
             for attempt in range(attempts):
                 r = subprocess.run(
-                    [sys.executable, "-m", "methyldackel_tpu.cli", "extract"] + args,
+                    [sys.executable, "-m", "methyldackel_tpu.cli", subcmd] + args,
                     cwd=d, env=env, capture_output=True, text=True, timeout=1800,
                 )
                 if r.returncode == 0:
                     if attempt:
                         print(f"NOTE {name} [{engine}] passed on retry "
                               f"(first attempt crashed — tunnel flake?)")
+                        RETRIED.append((name, engine))
                     break
                 sys.stderr.write(f"--- {name} [{engine}] attempt {attempt} "
                                  f"rc={r.returncode} stderr ---\n{r.stderr}\n")
@@ -118,21 +144,25 @@ def run_scenarios(scenarios, workdir, engines):
                 outs = None
                 break
             outs[engine] = d
+            stdouts[engine] = r.stdout
         if not outs:
             continue
         ok = True
         base = engines[0]
         for other in engines[1:]:
             for out in outputs:
-                a = open(os.path.join(outs[base], out), "rb").read()
-                b = open(os.path.join(outs[other], out), "rb").read()
+                if out == "@stdout":
+                    a, b = stdouts[base], stdouts[other]
+                else:
+                    a = open(os.path.join(outs[base], out), "rb").read()
+                    b = open(os.path.join(outs[other], out), "rb").read()
                 if a != b:
                     print(f"FAIL {name}: {out} differs host vs {other}")
                     fails.append((name, other))
                     ok = False
         if ok:
-            print(f"PASS {name} ({', '.join(engines[1:])} == host, "
-                  f"{len(outputs)} file(s))")
+            print(f"PASS {name} [{subcmd}] ({', '.join(engines[1:])} == host, "
+                  f"{len(outputs)} output(s))")
         sys.stdout.flush()
     return fails
 
@@ -146,17 +176,24 @@ def main():
     for f in os.listdir(FIXTURES):
         if f.endswith((".fa", ".bam", ".bai", ".fai")):
             shutil.copy(os.path.join(FIXTURES, f), workdir)
-    scenarios = SCENARIOS + gen_synthetic(workdir)
+    scenarios = SCENARIOS + gen_synthetic(workdir) + SUBCOMMAND_SCENARIOS
     if len(sys.argv) > 2 and sys.argv[1] == "--only":
         keys = sys.argv[2].split(",")
         scenarios = [s for s in scenarios if any(k in s[0] for k in keys)]
     fails = run_scenarios(scenarios, workdir, ["host", "jax", "mesh"])
     shutil.rmtree(workdir, ignore_errors=True)
+    if RETRIED:
+        # Retried passes are tallied separately: a scenario that only ever
+        # passes on retry is not the same evidence as a clean pass.
+        names = ", ".join(f"{n}[{e}]" for n, e in RETRIED)
+        print(f"# RETRIED-PASS: {len(RETRIED)} scenario-engine pair(s) "
+              f"passed only on retry: {names}")
     if fails:
         print(f"# RESULT: {len(fails)} FAILURES")
         return 1
     print(f"# RESULT: ALL {len(scenarios)} SCENARIOS PASS "
-          f"(jax+mesh byte-identical to host on {platform})")
+          f"(jax+mesh byte-identical to host on {platform}; "
+          f"{len(RETRIED)} retried)")
     return 0
 
 
