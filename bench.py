@@ -177,34 +177,48 @@ def bench_pallas(batch, ref_ascii, W, iters):
     return dt
 
 
-def bench_e2e_fused(batch, ref_ascii, W, iters):
-    """The production window step: everything compute_window_counters_fast
-    does per window — host prep (gapless split, pair mating, sorting, group
-    tables), ONE host→device transfer of the compact raw arrays, the fused
-    prealign→arbitrate→pileup→epilogue device program, and the counter
-    readback. This is what the CLI pays per 1 Mb window."""
+def bench_e2e_fused(batch, ref_ascii, W, iters, batches=None):
+    """The production window step in its production shape: everything the
+    CLI pays per 1 Mb window — host prep (arbitration, phred pre-gate,
+    nibble pack, sorting, group tables), the consolidated upload, the fused
+    pre-gated device program, and the dense readback — measured as the
+    PIPELINED steady state (MDTPU_PIPELINE windows in flight, exactly like
+    run_extract at -@ 1). Distinct batches rotate per iteration so the
+    tunnel's content-addressed upload cache cannot fake the transfers."""
     import jax
+    from collections import deque
     from methyldackel_tpu.ops import semantics as sem
     from methyldackel_tpu.parallel import device as dev
     from methyldackel_tpu.config import Config
 
     cfg = Config()
     cfg.chunkSize = W
-    st = sem.strand(batch.flag, batch.xg)
     keep = np.ones(batch.n, dtype=bool)
+    pool = [batch] + list(batches or [])
+    sts = [sem.strand(b.flag, b.xg) for b in pool]
+    st = sts[0]
+    depth = int(os.environ.get("MDTPU_PIPELINE", "3"))
 
-    def run():
-        out = dev.compute_window_counters_fast(cfg, batch, st, keep,
-                                               ref_ascii, 0, 0, W)
-        assert out is not None
-        return out
+    def dispatch(i):
+        b = pool[i % len(pool)]
+        h = dev.dispatch_window_counters_fast(cfg, b, sts[i % len(pool)],
+                                              keep, ref_ascii, 0, 0, W)
+        assert h is not None
+        return h
 
-    out = run()  # compile
+    for i in range(len(pool)):  # compile + warm every shape bucket once
+        dispatch(i).get()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
+    pending = deque()
+    for i in range(iters):
+        pending.append(dispatch(i))
+        if len(pending) > depth:
+            pending.popleft().get()
+    while pending:
+        out = pending.popleft().get()
     dt = (time.perf_counter() - t0) / iters
 
+    out = dispatch(0).get()  # exactness check against the first batch
     hq = batch.qual.copy()
     a_idx = np.arange(0, batch.n, 2)
     sem.arbitrate_overlaps(batch.seq, hq, batch.refpos, st, a_idx, a_idx + 1)
@@ -287,7 +301,9 @@ def main():
     elif mode == "pallas":
         dt = bench_pallas(batch, ref_ascii, W, iters)
     else:
-        dt = bench_e2e_fused(batch, ref_ascii, W, iters)
+        extra = [simulate_batch_fast(np.random.default_rng(s), ref_codes,
+                                     n_pairs, L) for s in (1, 2, 3)]
+        dt = bench_e2e_fused(batch, ref_ascii, W, iters, batches=extra)
     reads_per_s = batch.n / dt
     host_rps = host_baseline(batch, ref_ascii, W)
 

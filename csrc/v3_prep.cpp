@@ -1,0 +1,107 @@
+// Host prep kernels for the v3 pre-gated window dispatch
+// (parallel/device._fused_dispatch_v3).
+//
+// The v3 fast path ships phred-PRE-GATED, nibble-packed base codes to the
+// device. In numpy that costs four separate [N, L] passes per window
+// (gapless check, '=' check, pre-gate where(), strided nibble pack) plus a
+// row gather — ~0.2 s per 100k-read window on a 2-core host, which is the
+// difference between the device engine beating or losing to the host
+// engine. These kernels fuse them into two multithreaded passes.
+#include <cstdint>
+#include <thread>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+template <typename F>
+void parallel_rows(int64_t n, int nthreads, F f) {
+  if (nthreads < 1) nthreads = 1;
+  size_t workers = std::min<int64_t>(nthreads, std::max<int64_t>(n, 1));
+  if (workers <= 1) {
+    for (int64_t i = 0; i < n; ++i) f(i);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(workers);
+  for (size_t t = 0; t < workers; ++t) {
+    threads.emplace_back([&, t] {
+      for (int64_t i = t; i < n; i += workers) f(i);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Per-row fast-path eligibility: row r is "simple" iff its aligned
+// positions are exactly pos..pos+lq-1 (single-M CIGAR: refpos[0]==pos,
+// refpos[lq-1]==pos+lq-1, no negative refpos inside the read — see
+// _rows_gapless) AND it contains no base code 0 ('=', the prealigned
+// layout's pad sentinel — see _rows_no_eq_base). lq==0 rows are simple.
+// out_simple: uint8[n] (1 = simple).
+int mdtpu_v3_flags(const uint8_t* seq, const int32_t* refpos,
+                   const int64_t* pos, const int32_t* lq, int64_t n,
+                   int64_t L, uint8_t* out_simple, int nthreads) {
+  if (!seq || !refpos || !pos || !lq || !out_simple) return -1;
+  parallel_rows(n, nthreads, [&](int64_t r) {
+    const int64_t l = std::min<int64_t>(lq[r], L);
+    if (l <= 0) {
+      out_simple[r] = 1;
+      return;
+    }
+    const int32_t* rp = refpos + r * L;
+    const uint8_t* sq = seq + r * L;
+    if (rp[0] != pos[r] || rp[l - 1] != pos[r] + l - 1) {
+      out_simple[r] = 0;
+      return;
+    }
+    for (int64_t j = 0; j < l; ++j) {
+      if (rp[j] < 0 || sq[j] == 0) {
+        out_simple[r] = 0;
+        return;
+      }
+    }
+    out_simple[r] = 1;
+  });
+  return 0;
+}
+
+// Fused gather + phred pre-gate + nibble pack for the sorted fast rows:
+// for output row r, source row i = src_rows[r]:
+//   code[j] = qual[i][j] >= min_phred ? seq[i][j] : 0
+//   seqpack[r][j/2] |= code[j] << (4 * (j & 1))     (lo nibble = even j)
+//   pos_p[r] = pos[i] - win_start;  parity_p[r] = strand[i] & 1
+// seqpack is [nf_cap, Lh] and MUST be zero-initialized by the caller
+// (rows >= nf stay zero = padding).
+int mdtpu_v3_pack(const uint8_t* seq, const uint8_t* qual,
+                  const int64_t* src_rows, const int64_t* pos,
+                  const int32_t* strand, int64_t nf, int64_t L, int64_t Lh,
+                  int64_t win_start, int min_phred, uint8_t* seqpack,
+                  int32_t* pos_p, uint8_t* parity_p, int nthreads) {
+  if (!seq || !qual || !src_rows || !pos || !strand || !seqpack || !pos_p ||
+      !parity_p)
+    return -1;
+  parallel_rows(nf, nthreads, [&](int64_t r) {
+    const int64_t i = src_rows[r];
+    const uint8_t* sq = seq + i * L;
+    const uint8_t* ql = qual + i * L;
+    uint8_t* out = seqpack + r * Lh;
+    const int64_t pairs = L / 2;
+    for (int64_t j = 0; j < pairs; ++j) {
+      const uint8_t lo = ql[2 * j] >= min_phred ? sq[2 * j] : 0;
+      const uint8_t hi = ql[2 * j + 1] >= min_phred ? sq[2 * j + 1] : 0;
+      out[j] = static_cast<uint8_t>(lo | (hi << 4));
+    }
+    if (L & 1) {
+      out[pairs] = ql[L - 1] >= min_phred ? sq[L - 1] : 0;
+    }
+    pos_p[r] = static_cast<int32_t>(pos[i] - win_start);
+    parity_p[r] = static_cast<uint8_t>(strand[i] & 1);
+  });
+  return 0;
+}
+
+}  // extern "C"

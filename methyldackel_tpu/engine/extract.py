@@ -476,8 +476,10 @@ def ensure_bam_index(bam: BamFile, path: str) -> None:
     present next to the BAM, announce and build one."""
     import os
 
-    if isinstance(bam, CramFile):
-        return  # CRAM input: the in-memory decode needs no .crai
+    from ..io.cram import StreamingCramFile
+
+    if isinstance(bam, (CramFile, StreamingCramFile)):
+        return  # CRAM input: indexes by .crai / container scan, never .bai
     cands = [path + ".bai", os.path.splitext(path)[0] + ".bai"]
     if any(os.path.exists(c) for c in cands):
         return
@@ -536,7 +538,11 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                     and _os.environ.get("MDTPU_SERIAL_DEVICE") == "1"
                     else None)
 
-    def process_window(tid, lpos, lend):
+    dispatch_fn = getattr(compute, "dispatch", None)
+
+    def start_window(tid, lpos, lend):
+        """Host prep + (async backends) device dispatch for one window.
+        Returns None (window skipped) or an opaque state for finish_window."""
         name = hdr.names[tid]
         bed_state = BedState()
         if cfg.bed is not None:
@@ -575,17 +581,30 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
 
         STATS.count("windows")
         STATS.count("reads_processed", int(keep.sum()))
-        with STATS.timer("window_compute"), trace("window_compute"):
+        with STATS.timer("window_dispatch"), trace("window_dispatch"):
             if compute_lock is not None:
                 with compute_lock:
-                    counters = compute(cfg, batch, strand_arr, keep, ref_window,
-                                       lpos2, lpos, lend, rstrand)
+                    handle = compute(cfg, batch, strand_arr, keep, ref_window,
+                                     lpos2, lpos, lend, rstrand)
+            elif dispatch_fn is not None:
+                handle = dispatch_fn(cfg, batch, strand_arr, keep, ref_window,
+                                     lpos2, lpos, lend, rstrand)
             else:
-                counters = compute(cfg, batch, strand_arr, keep, ref_window,
-                                   lpos2, lpos, lend, rstrand)
+                handle = compute(cfg, batch, strand_arr, keep, ref_window,
+                                 lpos2, lpos, lend, rstrand)
+        return (name, tid, lpos, lend, lpos2, ref_window, covered, handle)
+
+    def finish_window(state):
+        (name, tid, lpos, lend, lpos2, ref_window, covered, handle) = state
+        with STATS.timer("window_compute"), trace("window_compute"):
+            counters = handle.get() if hasattr(handle, "get") else handle
         with STATS.timer("window_emit"):
             return emit_window(cfg, name, tid, lpos, lend, lpos2, ref_window,
                                np.asarray(counters), covered)
+
+    def process_window(tid, lpos, lend):
+        state = start_window(tid, lpos, lend)
+        return None if state is None else finish_window(state)
 
     # Multi-host (DCN) sharding of the genome cursor: host h owns every
     # window w with w % n_hosts == h; rows land in per-window shard files
@@ -618,7 +637,28 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
     if n_hosts > 1:
         win_iter = ((i, w) for i, w in win_iter if i % n_hosts == host_id)
     n_threads = max(1, int(getattr(cfg, "nThreads", 1) or 1))
-    if n_threads == 1:
+    pipeline_depth = max(1, int(_os.environ.get("MDTPU_PIPELINE", "3") or 1))
+    if n_threads == 1 and dispatch_fn is not None and compute_lock is None \
+            and pipeline_depth > 1:
+        # Single-thread async pipeline: keep `pipeline_depth` windows in
+        # flight on the device so host prep of window k+1.. overlaps device
+        # compute/transfers of window k (the -@ 1 analogue of the thread
+        # pool below; dispatches are cheap, readbacks are the sync points).
+        from collections import deque
+
+        pending = deque()
+        for i, (tid, lpos, lend) in win_iter:
+            state = start_window(tid, lpos, lend)
+            if state is None:
+                continue
+            pending.append((i, state))
+            while len(pending) > pipeline_depth:
+                j, s = pending.popleft()
+                drain(j, finish_window(s))
+        while pending:
+            j, s = pending.popleft()
+            drain(j, finish_window(s))
+    elif n_threads == 1:
         for i, (tid, lpos, lend) in win_iter:
             drain(i, process_window(tid, lpos, lend))
     else:

@@ -1377,21 +1377,187 @@ def _encode_features(sb: _SeriesBuf, cigar: np.ndarray, seq_ascii: np.ndarray,
 
 # ------------------------------------------------------------------ dispatch
 
+def read_crai(path: str):
+    """Parse a .crai (gzipped text; one line per slice): returns a list of
+    (seq_id, aln_start, aln_span, container_offset, slice_offset,
+    slice_size) int tuples. Inverse of write_crai; also accepts
+    htslib-written indexes (same 6-column format)."""
+    rows = []
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:2] == b"\x1f\x8b":
+        data = gzip_mod.decompress(data)
+    for line in data.decode().splitlines():
+        parts = line.split("\t")
+        if len(parts) != 6:
+            parts = line.split()
+        if len(parts) != 6:
+            raise ValueError(f"crai: malformed line {line!r}")
+        rows.append(tuple(int(x) for x in parts))
+    return rows
+
+
+def _parse_container_header(buf: bytes, p: int):
+    """Container header fields + end offset (no CRC check — used for
+    seeking/scanning; the decode path re-verifies)."""
+    (length,) = struct.unpack_from("<i", buf, p)
+    p += 4
+    ref_id, p = read_itf8_signed(buf, p)
+    start, p = read_itf8_signed(buf, p)
+    span, p = read_itf8_signed(buf, p)
+    n_records, p = read_itf8(buf, p)
+    _counter, p = read_ltf8(buf, p)
+    _bases, p = read_ltf8(buf, p)
+    n_blocks, p = read_itf8(buf, p)
+    _landmarks, p = _read_array_itf8(buf, p)
+    p += 4  # crc
+    return length, ref_id, start, span, n_records, p
+
+
+class StreamingCramFile:
+    """.crai-guided windowed CRAM reader: the streaming twin of
+    io/bam.StreamingBamFile for CRAM input (the reference gets this from
+    htslib's cram_index/.crai seeks, MethylDackel.h:80). Where CramFile
+    decodes the whole file up front, this seeks to and decodes only the
+    containers whose alignment span intersects the requested window —
+    O(one window's containers) memory.
+
+    The .crai next to the file is used when present (ours or htslib's);
+    otherwise a container-granularity index is built by scanning container
+    HEADERS only (no record decode), which is O(n_containers) reads.
+    Decoded containers are LRU-cached so adjacent windows re-decode only
+    their new containers."""
+
+    streaming = True
+
+    def __init__(self, path: str, fasta=None, cache_containers: int = 4):
+        import os
+
+        self.path = path
+        if isinstance(fasta, str):
+            fasta = FastaFile(fasta)
+        self._fasta = fasta
+        self._fh = open(path, "rb")
+        head = self._read_at(0, 26)
+        if head[:4] != CRAM_MAGIC:
+            raise ValueError(f"{path} is not a CRAM file")
+        if head[4] != 3:
+            raise ValueError(f"cram: unsupported version {head[4]}.{head[5]}")
+        # file-header container
+        buf = self._read_at(26, 1 << 20)
+        shell = CramFile.__new__(CramFile)
+        shell._fasta = fasta
+        shell._records = []
+        data_end, _eof = shell._read_container(buf, 0, True)
+        self.header = shell.header
+        self._first_data = 26 + data_end
+
+        crai = next((c for c in (path + ".crai",
+                                 path.rsplit(".", 1)[0] + ".crai")
+                     if os.path.exists(c)), None)
+        if crai is not None:
+            # container granularity: collapse slice rows by offset
+            by_off: dict[int, list] = {}
+            for (sid, st, sp, c_off, _so, _sl) in read_crai(crai):
+                by_off.setdefault(c_off, []).append((sid, st, sp))
+            self._index = []
+            for c_off in sorted(by_off):
+                for sid, st, sp in by_off[c_off]:
+                    self._index.append((sid, st, sp, c_off))
+        else:
+            self._index = self._scan_containers()
+        self._cache: "dict[int, list]" = {}
+        self._cache_order: list[int] = []
+        self._cache_max = cache_containers
+
+    def _read_at(self, off: int, size: int) -> bytes:
+        self._fh.seek(off)
+        return self._fh.read(size)
+
+    def _scan_containers(self):
+        rows = []
+        off = self._first_data
+        import os
+
+        fsize = os.path.getsize(self.path)
+        while off < fsize:
+            hdr = self._read_at(off, 1 << 16)
+            if len(hdr) < 10:
+                break
+            length, ref_id, start, span, n_records, hdr_end = \
+                _parse_container_header(hdr, 0)
+            if ref_id == -1 and start == EOF_POSITION and n_records == 0:
+                break
+            if n_records:
+                rows.append((ref_id, start, span, off))
+            off += hdr_end + length
+        return rows
+
+    @property
+    def n_reads(self) -> int:
+        return 0  # unknown without a full pass; used only for stats
+
+    def _container_records(self, off: int) -> list:
+        recs = self._cache.get(off)
+        if recs is not None:
+            self._cache_order.remove(off)
+            self._cache_order.append(off)
+            return recs
+        hdr = self._read_at(off, 1 << 16)
+        length, _r, _s, _sp, _n, hdr_end = _parse_container_header(hdr, 0)
+        total = hdr_end + length
+        buf = hdr[:total] if total <= len(hdr) else (
+            hdr + self._read_at(off + len(hdr), total - len(hdr)))
+        shell = CramFile.__new__(CramFile)
+        shell._fasta = self._fasta
+        shell.header = self.header
+        shell._records = []
+        shell._read_container(buf, 0, False)
+        recs = shell._records
+        self._cache[off] = recs
+        self._cache_order.append(off)
+        while len(self._cache_order) > self._cache_max:
+            self._cache.pop(self._cache_order.pop(0), None)
+        return recs
+
+    def window_soa(self, tid: int, start: int, end: int):
+        """Decode the containers intersecting [start, end) on tid (±1 slack
+        absorbs 0/1-based aln_start conventions; multi-ref containers,
+        ref_id -2, are always candidates) into an assembled AlignmentSoA."""
+        offs = []
+        for (sid, st, sp, c_off) in self._index:
+            if sid == -2 or (sid == tid and st - 1 < end
+                             and st + max(sp, 0) + 1 > start):
+                if c_off not in offs:
+                    offs.append(c_off)
+        shell = CramFile.__new__(CramFile)
+        shell._fasta = self._fasta
+        shell.header = self.header
+        shell._records = []
+        for off in sorted(offs):
+            shell._records = shell._records + self._container_records(off)
+        shell._assemble()
+        return shell
+
+
 def open_alignment(path: str, fasta=None):
     """Open a BAM or CRAM by magic bytes → AlignmentSoA (or the streaming
-    window reader for huge BAMs: decode-per-window keeps memory at
-    O(one window's reads) instead of O(whole file); needs the .bai)."""
+    window reader for huge inputs: decode-per-window keeps memory at
+    O(one window's reads) instead of O(whole file); BAM needs the .bai,
+    CRAM uses the .crai or a container-header scan)."""
     import os
 
     with open(path, "rb") as fh:
         magic = fh.read(4)
-    if magic == CRAM_MAGIC:
-        return CramFile(path, fasta=fasta)
-    from .bam import BamFile, StreamingBamFile
-
     force = os.environ.get("MDTPU_STREAM") == "1"
     threshold = int(os.environ.get("MDTPU_STREAM_THRESHOLD", 4 << 30))
     big = os.path.getsize(path) >= threshold
+    if magic == CRAM_MAGIC:
+        if force or big:
+            return StreamingCramFile(path, fasta=fasta)
+        return CramFile(path, fasta=fasta)
+    from .bam import BamFile, StreamingBamFile
+
     if force or big:
         has_bai = any(os.path.exists(c)
                       for c in (path + ".bai", path.rsplit(".", 1)[0] + ".bai"))

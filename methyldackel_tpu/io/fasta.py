@@ -1,10 +1,20 @@
 """Indexed FASTA access (htslib faidx equivalent).
 
 The reference calls fai_load/faidx_fetch_seq throughout (extract.c:381,
-common.c:477, mergeContext.c:62). This module parses (or builds in memory)
-the .fai index and serves 0-based *closed*-interval fetches with the same
-clamping semantics as faidx_fetch_seq: end is clamped to the contig's last
-base, a start beyond the contig yields an empty sequence.
+common.c:477, mergeContext.c:62). This module parses (or builds and
+persists) the .fai index and serves 0-based *closed*-interval fetches with
+the same clamping semantics as faidx_fetch_seq: end is clamped to the
+contig's last base, a start beyond the contig yields an empty sequence.
+
+Like htslib's faidx (extract.c:381 via fai_load), BGZF-compressed FASTA
+(.fa.gz written by bgzip) is read transparently: blocks are located via a
+header-only scan (io/bgzf.BGZFBlockIndex — the .gzi's role) and only the
+byte ranges a fetch needs are inflated.
+
+Memory model: plaintext files are memory-mapped (no heap copy of the
+genome); per-chromosome uppercased arrays are cached one at a time —
+window processing walks the genome in order, so residency is bounded by
+the largest contig instead of 2x the whole genome.
 
 Sequences are returned as uint8 ASCII arrays (uppercased on load; every
 consumer in the reference compares case-insensitively).
@@ -20,7 +30,16 @@ class FastaFile:
     def __init__(self, path: str):
         self.path = path
         with open(path, "rb") as fh:
-            self._data = fh.read()
+            magic = fh.read(2)
+        self._bgzf = magic == b"\x1f\x8b"
+        if self._bgzf:
+            from .bgzf import BGZFBlockIndex
+
+            self._blocks = BGZFBlockIndex(path)
+            self._mm = None
+        else:
+            self._blocks = None
+            self._mm = np.memmap(path, dtype=np.uint8, mode="r")
         fai = path + ".fai"
         if os.path.exists(fai):
             self._index = self._parse_fai(fai)
@@ -34,7 +53,21 @@ class FastaFile:
                         fh.write(f"{name}\t{ln}\t{off}\t{lb}\t{lw}\n")
             except OSError:
                 pass
-        self._cache: dict[str, np.ndarray] = {}
+        # Single-slot chromosome cache: windowed consumers walk contigs in
+        # order, so one uppercased contig bounds residency. Stored as ONE
+        # tuple so concurrent -@ workers read/replace it atomically.
+        self._cache: tuple[str | None, np.ndarray | None] = (None, None)
+
+    # ---- raw (possibly compressed) byte access
+
+    def _read_range(self, off: int, size: int) -> np.ndarray:
+        if self._bgzf:
+            return np.frombuffer(
+                self._blocks.read_flat_range(off, off + size), dtype=np.uint8)
+        return np.asarray(self._mm[off : off + size])
+
+    def _raw_size(self) -> int:
+        return self._blocks.usize if self._bgzf else len(self._mm)
 
     @staticmethod
     def _parse_fai(path: str) -> dict:
@@ -49,7 +82,8 @@ class FastaFile:
 
     def _build_index(self) -> dict:
         index: dict[str, tuple[int, int, int, int]] = {}
-        data = self._data
+        # One transient pass over the (inflated) text; released afterwards.
+        data = self._read_range(0, self._raw_size()).tobytes()
         pos = 0
         n = len(data)
         while pos < n:
@@ -84,21 +118,20 @@ class FastaFile:
         return self._index[name][0]
 
     def _full(self, name: str) -> np.ndarray:
-        arr = self._cache.get(name)
-        if arr is None:
-            ln, off, lb, lw = self._index[name]
-            nlines = (ln + lb - 1) // lb
-            raw = np.frombuffer(
-                self._data, dtype=np.uint8, count=min(nlines * lw, len(self._data) - off),
-                offset=off,
-            )
-            pad = (-len(raw)) % lw
-            if pad:
-                raw = np.concatenate([raw, np.full(pad, ord("\n"), np.uint8)])
-            arr = raw.reshape(-1, lw)[:, :lb].reshape(-1)[:ln]
-            # Uppercase ASCII letters (case-insensitive consumers everywhere).
-            arr = np.where((arr >= ord("a")) & (arr <= ord("z")), arr - 32, arr).astype(np.uint8)
-            self._cache[name] = arr
+        cname, carr = self._cache
+        if cname == name:
+            return carr
+        ln, off, lb, lw = self._index[name]
+        nlines = (ln + lb - 1) // lb
+        raw = self._read_range(off, min(nlines * lw, self._raw_size() - off))
+        pad = (-len(raw)) % lw
+        if pad:
+            raw = np.concatenate([raw, np.full(pad, ord("\n"), np.uint8)])
+        arr = raw.reshape(-1, lw)[:, :lb].reshape(-1)[:ln]
+        # Uppercase ASCII letters (case-insensitive consumers everywhere).
+        arr = np.where((arr >= ord("a")) & (arr <= ord("z")), arr - 32,
+                       arr).astype(np.uint8)
+        self._cache = (name, arr)
         return arr
 
     def fetch(self, name: str, start: int, end: int) -> np.ndarray | None:

@@ -95,6 +95,24 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64,
         ]
+        try:  # newer symbols: optional so a stale artifact degrades softly
+            lib.mdtpu_v3_flags.restype = ctypes.c_int
+            lib.mdtpu_v3_flags.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.mdtpu_v3_pack.restype = ctypes.c_int
+            lib.mdtpu_v3_pack.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int,
+            ]
+            lib._has_v3 = True
+        except AttributeError:
+            lib._has_v3 = False
         _LIB = lib
     except (OSError, AttributeError) as exc:
         # The artifact exists but can't be loaded (missing runtime dep, ABI
@@ -309,6 +327,71 @@ def arbitrate(seq, qual, refpos, strand_arr, a_idx, b_idx):
     if nfb < 0:
         return None
     return fb[:nfb]
+
+
+def v3_flags(seq, refpos, pos, lq):
+    """Fused gapless + no-'=' row eligibility (the v3 fast-path split), or
+    None if the library isn't built. Arrays must be the decoder's dtypes
+    (seq uint8 [N,L] C-contiguous, refpos int32 [N,L], pos int64, lq
+    int32)."""
+    import numpy as np
+    import os
+
+    lib = _load()
+    if lib is None or not lib._has_v3:
+        return None
+    if not (seq.flags.c_contiguous and seq.dtype == np.uint8
+            and refpos.flags.c_contiguous and refpos.dtype == np.int32):
+        return None
+    pos = np.ascontiguousarray(pos, np.int64)
+    lq = np.ascontiguousarray(lq, np.int32)
+    n, L = seq.shape
+    out = np.empty(n, np.uint8)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.mdtpu_v3_flags(ptr(seq), ptr(refpos), ptr(pos), ptr(lq), n, L,
+                            ptr(out), os.cpu_count() or 1)
+    if rc != 0:
+        return None
+    return out.astype(bool)
+
+
+def v3_pack(seq, qual, src_rows, pos, strand, Lh, nf_cap, win_start,
+            min_phred):
+    """Fused gather + phred pre-gate + nibble pack into the v3 upload
+    layout: (seqpack [nf_cap, Lh] u8, pos_p int32 [nf_cap], parity_p u8
+    [nf_cap]) with rows >= len(src_rows) zero-padded. Returns None if the
+    library isn't built / inputs are unsupported."""
+    import numpy as np
+    import os
+
+    lib = _load()
+    if lib is None or not lib._has_v3:
+        return None
+    if not (seq.flags.c_contiguous and seq.dtype == np.uint8
+            and qual.flags.c_contiguous and qual.dtype == np.uint8):
+        return None
+    src_rows = np.ascontiguousarray(src_rows, np.int64)
+    pos = np.ascontiguousarray(pos, np.int64)
+    strand = np.ascontiguousarray(strand, np.int32)
+    n, L = seq.shape
+    nf = len(src_rows)
+    seqpack = np.zeros((nf_cap, Lh), np.uint8)
+    pos_p = np.zeros(nf_cap, np.int32)
+    parity_p = np.zeros(nf_cap, np.uint8)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.mdtpu_v3_pack(ptr(seq), ptr(qual), ptr(src_rows), ptr(pos),
+                           ptr(strand), nf, L, Lh, win_start, int(min_phred),
+                           ptr(seqpack), ptr(pos_p), ptr(parity_p),
+                           os.cpu_count() or 1)
+    if rc != 0:
+        return None
+    return seqpack, pos_p, parity_p
 
 
 def format_cytosine(chrom: str, pos, direction, nm, nu, ctype, tnc_idx):

@@ -168,6 +168,114 @@ def _pileup_tiles(srtk, cntk, seq, qual, *, ntiles, T, HALO_L, LP, LP2, K,
     )(srtk, cntk, seq, qual)
 
 
+def _kernel_nq(srtk_ref, cntk_ref, seq_hbm, out_ref, seq_v, acc, sems, *,
+               T, HALO_L, LP, LP2, K, GMAX):
+    """Qual-free variant of _kernel for PRE-GATED reads: the host has
+    already zeroed the base code of every base failing the phred gate
+    (and arbitration ran on host), so activity is simply `code != 0` —
+    no qual array at all, halving the kernel's DMA traffic and VMEM
+    footprint. Semantics otherwise identical to _kernel (and to
+    ops.semantics.pileup_channels; parity-tested)."""
+    t = pl.program_id(0)
+
+    def group_dma(k, slot):
+        srt = srtk_ref[t * K + k]
+        base = pl.multiple_of((srt // 32) * 32, 32)
+        return pltpu.make_async_copy(seq_hbm.at[pl.ds(base, GMAX)],
+                                     seq_v.at[slot], sems.at[slot])
+
+    group_dma(0, 0).start()
+    acc[...] = jnp.zeros_like(acc)
+
+    for k in range(K):
+        slot = k % 2
+        if k + 1 < K:
+            group_dma(k + 1, (k + 1) % 2).start()
+        group_dma(k, slot).wait()
+
+        srt = srtk_ref[t * K + k]
+        gcnt = cntk_ref[t * K + k]
+        rem = srt - (srt // 32) * 32
+
+        s_all = seq_v[slot].astype(jnp.int32)
+        s = s_all & 15            # base code; 0 = pre-gated/pad (inert)
+        odd_i = (s_all >> 5) & 1  # per-element parity (bit 5)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (GMAX, 1), 0)
+        rowmask = ((rowid >= rem) & (rowid < rem + gcnt)).astype(jnp.int32)
+        passing = (s != 0).astype(jnp.int32) * rowmask
+        enc = passing * (1 + (odd_i << 16))
+
+        rows = [jnp.sum(enc, axis=0, keepdims=True)]  # total
+        for code in (BASE_A, BASE_C, BASE_G, BASE_T, BASE_N):
+            rows.append(jnp.sum(enc * (s == code).astype(jnp.int32),
+                                axis=0, keepdims=True))
+        packed = jnp.concatenate(rows, axis=0)       # [6, LP2]
+        odd_block = packed >> 16
+        even_block = (packed & 0xFFFF) - odd_block
+        zero = jnp.zeros((4, LP2), jnp.int32)
+        chan = jnp.concatenate([odd_block, even_block, zero], axis=0)
+
+        off = pl.multiple_of((HALO_L - LP) + k * 128, 128)
+        acc[:, pl.ds(off, LP2)] += chan
+
+    out_ref[...] = acc[:, HALO_L : HALO_L + T]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ntiles", "T", "HALO_L", "LP", "LP2", "K", "GMAX"),
+)
+def _pileup_tiles_nq(srtk, cntk, seq, *, ntiles, T, HALO_L, LP, LP2, K, GMAX):
+    assert GMAX * (1 + (1 << 16)) < 2**31, (
+        "parity packing needs GMAX*(1+2^16) < 2^31")
+    tplus = T + HALO_L + LP2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (16, T), lambda t, *_: (0, t), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, GMAX, LP2), jnp.uint8),
+            pltpu.VMEM((16, tplus), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel_nq, T=T, HALO_L=HALO_L, LP=LP,
+                               LP2=LP2, K=K, GMAX=GMAX)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((16, ntiles * T), jnp.int32),
+    )(srtk, cntk, seq)
+
+
+def _pileup_tiles_nq_interpret(srtk, cntk, seq, *, ntiles, T, HALO_L, LP,
+                               LP2, K):
+    """CPU execution of the pre-gated kernel math (for parity tests)."""
+    out = np.zeros((ntiles, 16, T), np.int32)
+    for t in range(ntiles):
+        acc = np.zeros((16, T + HALO_L + LP2), np.int32)
+        for k in range(K):
+            srt = int(srtk[t * K + k])
+            gcnt = int(cntk[t * K + k])
+            off = (HALO_L - LP) + k * 128
+            for c in range(gcnt):
+                r = srt + c
+                s_all = seq[r].astype(np.int32)
+                s = s_all & 15
+                odd = (s_all >> 5) & 1
+                passing = (s != 0).astype(np.int32)
+                for par_val, base in ((1, 0), (0, 6)):
+                    pm = passing * (odd == par_val)
+                    acc[base + CH_TOTAL, off : off + LP2] += pm
+                    for j, code in enumerate((BASE_A, BASE_C, BASE_G, BASE_T, BASE_N)):
+                        acc[base + 1 + j, off : off + LP2] += pm * (s == code)
+        out[t] = acc[:, HALO_L : HALO_L + T]
+    return out
+
+
 def counts_to_channels(counts, ref_window, win_offset_rel, W):
     """XLA epilogue: 12 per-parity base counts → the 4 reference-dependent
     channels of extract.c:420-441 (meth, unmeth, opposite coverage,

@@ -669,6 +669,292 @@ def _fused_window_wide(*args, **statics):
     return _window_channels(*args, **statics)
 
 
+_V3_STATICS = ("Nb", "Lh", "LP2", "L2", "ntiles", "T", "HALO_L", "LP", "K",
+               "GMAX", "W", "ref_static", "NCH", "HAS_HARD", "min_phred",
+               "SAT_BITS")
+
+
+@functools.partial(jax.jit, static_argnames=_V3_STATICS)
+def _fused_window_pregated(seqpack, meta_i32, aux_u8, woff_rel, hseq, hqual,
+                           hrefpos, hstrand, hkeep, *, Nb, Lh, LP2, L2,
+                           ntiles, T, HALO_L, LP, K, GMAX, W, ref_static,
+                           NCH, HAS_HARD, min_phred, SAT_BITS):
+    """The v3 fast-window program for PRE-GATED reads. The host has already
+    run mate-overlap arbitration (native kernel, bit-equal to the C) and
+    zeroed the base code of every base with qual < minPhred, so this
+    program needs NO quals and NO pair plumbing: unpack 4-bit codes →
+    barrel-shift phase alignment → qual-free Pallas tile pileup → channel
+    epilogue → DENSE saturating readback.
+
+    Upload is 3 consolidated arrays (nibble-packed codes ~L/2 bytes/read;
+    int32 meta = pos+group tables; u8 aux = parity+reference) — the axon
+    tunnel charges per-transfer latency, and the old layout's 20 arrays /
+    39 MB per 100k-read window were the single largest e2e cost. The dense
+    [NCH, W] u8/u16 readback replaces the candidate-gather (the minor-axis
+    gather + 2 MB index upload cost more than the dense bytes)."""
+    from ..ops import pileup_pallas as pk
+
+    G = ntiles * K
+    pos_p = meta_i32[:Nb]
+    srtk = meta_i32[Nb : Nb + G]
+    cntk = meta_i32[Nb + G : Nb + 2 * G]
+    parity = aux_u8[:Nb]
+    ref_p = aux_u8[Nb : Nb + ref_static]
+
+    # nibble unpack: packed[:, j] = code[2j] | code[2j+1] << 4
+    lo = seqpack & 15
+    hi = seqpack >> 4
+    seq = jnp.stack([lo, hi], axis=-1).reshape(Nb, L2)
+
+    # phase alignment (seq-only barrel shifter; see _phase_align_device)
+    x = jnp.pad(seq, ((0, 0), (0, LP2 - L2)))
+    sh = pos_p.astype(jnp.int32) % 128
+    for k in range(7):
+        bit = ((sh >> k) & 1)[:, None] == 1
+        s = 1 << k
+        x = jnp.where(bit, jnp.pad(x, ((0, 0), (s, 0)))[:, :LP2], x)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, LP2), 1)
+    ok = (col >= sh[:, None]) & (col < sh[:, None] + L2)
+    seq_a = jnp.where(ok, x | (parity[:, None] << 5), 0).astype(jnp.uint8)
+
+    tiles = pk._pileup_tiles_nq(srtk, cntk, seq_a, ntiles=ntiles, T=T,
+                                HALO_L=HALO_L, LP=LP, LP2=LP2, K=K, GMAX=GMAX)
+    full = pk.counts_to_channels(tiles[:, :W], ref_p, woff_rel, W)  # [4, W]
+    if HAS_HARD:
+        # indel/'='-containing rows: exact dense pileup (quals shipped;
+        # arbitration already ran on host, so no pair rewrite here)
+        hc = pileup_device(hseq, hqual, hrefpos, hstrand, hkeep,
+                           jnp.ones(hseq.shape, bool), ref_p, woff_rel,
+                           jnp.int32(0), W, min_phred)  # [W, 4] uint32
+        full = full + hc.T
+    sel = full[:NCH]
+    if SAT_BITS == 8:
+        overflow = jnp.any(sel > jnp.uint32(0xFF))
+        return sel.astype(jnp.uint8), overflow
+    overflow = jnp.any(sel > jnp.uint32(0xFFFF))
+    return sel.astype(jnp.uint16), overflow
+
+
+@functools.partial(jax.jit, static_argnames=_V3_STATICS[:-2] + ("min_phred",))
+def _fused_window_pregated_wide(seqpack, meta_i32, aux_u8, woff_rel, hseq,
+                                hqual, hrefpos, hstrand, hkeep, *, Nb, Lh,
+                                LP2, L2, ntiles, T, HALO_L, LP, K, GMAX, W,
+                                ref_static, NCH, HAS_HARD, min_phred):
+    """Overflow refetch: the full uint32 [4, W] channels (rare)."""
+    from ..ops import pileup_pallas as pk
+
+    G = ntiles * K
+    pos_p = meta_i32[:Nb]
+    srtk = meta_i32[Nb : Nb + G]
+    cntk = meta_i32[Nb + G : Nb + 2 * G]
+    parity = aux_u8[:Nb]
+    ref_p = aux_u8[Nb : Nb + ref_static]
+    lo = seqpack & 15
+    hi = seqpack >> 4
+    seq = jnp.stack([lo, hi], axis=-1).reshape(Nb, L2)
+    x = jnp.pad(seq, ((0, 0), (0, LP2 - L2)))
+    sh = pos_p.astype(jnp.int32) % 128
+    for k in range(7):
+        bit = ((sh >> k) & 1)[:, None] == 1
+        s = 1 << k
+        x = jnp.where(bit, jnp.pad(x, ((0, 0), (s, 0)))[:, :LP2], x)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, LP2), 1)
+    ok = (col >= sh[:, None]) & (col < sh[:, None] + L2)
+    seq_a = jnp.where(ok, x | (parity[:, None] << 5), 0).astype(jnp.uint8)
+    tiles = pk._pileup_tiles_nq(srtk, cntk, seq_a, ntiles=ntiles, T=T,
+                                HALO_L=HALO_L, LP=LP, LP2=LP2, K=K, GMAX=GMAX)
+    full = pk.counts_to_channels(tiles[:, :W], ref_p, woff_rel, W)
+    if HAS_HARD:
+        hc = pileup_device(hseq, hqual, hrefpos, hstrand, hkeep,
+                           jnp.ones(hseq.shape, bool), ref_p, woff_rel,
+                           jnp.int32(0), W, min_phred)
+        full = full + hc.T
+    return full
+
+
+# Readback width state: start with u8 (half the readback bytes); after the
+# first depth>255 overflow, stay at u16 for the rest of the process so deep
+# datasets don't pay a wide refetch per window.
+_V3_SAT = {"bits": 8}
+
+
+def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
+                       xla_rows, ref_window, win_start, woff_rel, W_fixed,
+                       max_gmax=4096, interpret=False):
+    """v3 host choreography (see _fused_window_pregated). `qual` must
+    already be arbitrated on host; the phred pre-gate is applied here while
+    packing (fused in the native kernel when built). Hard (indel/'=') rows
+    ship their raw codes + quals (their dense path gates on qual itself).
+    Returns finalize() -> uint32 [W_fixed, 4], or None on coverage skew
+    (caller falls back)."""
+    from ..io import native
+    from ..ops import semantics as sem
+    from ..ops import pileup_pallas as pk
+
+    fast = ~xla_rows
+    rows = np.nonzero(fast)[0]
+    f_pos = pos[rows] - win_start
+    n = len(rows)
+    L = seq.shape[1]
+    Lh = (L + 1) // 2
+    L2 = 2 * Lh
+    LP = _round_up(max(L2, 128), 128)
+    LP2 = _round_up(L2 + 127, 128)
+    T = 512
+    HALO_L = LP + 128
+    wpad = _round_up(W_fixed, T)
+    ntiles = wpad // T
+    K = (T + LP) // 128
+
+    aligned = f_pos - (f_pos % 128)
+    order = np.argsort(aligned, kind="stable")
+    al_s = aligned[order]
+    src = rows[order]
+
+    bounds = (np.arange(ntiles)[:, None] * T - LP
+              + 128 * np.arange(K + 1)[None, :])
+    flat = np.searchsorted(al_s, bounds.reshape(-1), side="left")
+    flat = flat.reshape(ntiles, K + 1)
+    srtk = flat[:, :K].astype(np.int32).reshape(-1)
+    cntk = np.diff(flat, axis=1).astype(np.int32).reshape(-1)
+    gmax = int(cntk.max()) if len(cntk) else 0
+    GMAX = 64
+    while GMAX < gmax + 32:
+        GMAX *= 2
+    if GMAX > max_gmax:
+        return None
+
+    Nb = 256
+    while Nb < n + GMAX:
+        Nb *= 2
+    nat = None if interpret else native.v3_pack(
+        seq, qual, src, pos, st, Lh, Nb, win_start, cfg.minPhred)
+    if nat is not None:
+        seqpack, pos_p, parity_p = nat
+    else:
+        f_seq = np.where(qual[src] >= cfg.minPhred, seq[src], 0).astype(
+            np.uint8)
+        if L % 2:
+            f_seq = np.concatenate(
+                [f_seq, np.zeros((n, 1), np.uint8)], axis=1)
+        seqpack = np.zeros((Nb, Lh), np.uint8)
+        seqpack[:n] = f_seq[:, 0::2] | (f_seq[:, 1::2] << 4)
+        pos_p = np.zeros(Nb, np.int32)
+        pos_p[:n] = f_pos[order]
+        parity_p = np.zeros(Nb, np.uint8)
+        parity_p[:n] = (st[src] & 1).astype(np.uint8)
+    meta_i32 = np.concatenate([pos_p, srtk, cntk])
+
+    assert -512 <= woff_rel <= 512, woff_rel
+    ref_static = wpad + 256
+    ref_p = np.zeros(ref_static, np.uint8)
+    seqlen = min(len(ref_window), ref_static)
+    ref_p[:seqlen] = np.asarray(ref_window[:seqlen], np.uint8)
+    aux_u8 = np.concatenate([parity_p, ref_p])
+    NCH = 4 if cfg.minOppositeDepth > 0 else 2
+
+    hrows = np.nonzero(xla_rows)[0]
+    HAS_HARD = bool(len(hrows))
+    if HAS_HARD:
+        NH = 256
+        while NH < len(hrows) + 1:
+            NH *= 2
+        hseq = np.zeros((NH, L), np.uint8)
+        hqual = np.zeros((NH, L), np.uint8)
+        hrefpos = np.full((NH, L), -2, np.int32)
+        hstrand = np.ones(NH, np.int32)
+        hkeep = np.zeros(NH, bool)
+        nh = len(hrows)
+        # hard rows ship their ORIGINAL codes + quals: '=' (code 0) bases
+        # are legal there and the dense path keys on refpos validity
+        hseq[:nh] = seq[hrows]
+        hqual[:nh] = qual[hrows]
+        hrefpos[:nh] = (refpos[hrows] - win_start).astype(np.int32)
+        hstrand[:nh] = st[hrows]
+        hkeep[:nh] = True
+    else:
+        hseq = np.zeros((1, L), np.uint8)
+        hqual = np.zeros((1, L), np.uint8)
+        hrefpos = np.full((1, L), -2, np.int32)
+        hstrand = np.ones(1, np.int32)
+        hkeep = np.zeros(1, bool)
+
+    statics = dict(Nb=Nb, Lh=Lh, LP2=LP2, L2=L2, ntiles=ntiles, T=T,
+                   HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, W=wpad,
+                   ref_static=ref_static, NCH=NCH, HAS_HARD=HAS_HARD,
+                   min_phred=cfg.minPhred)
+
+    if interpret:
+        # CPU twin of the full program (exercised by the CPU test suite):
+        # numpy prealign + the nq kernel interpreter + the same epilogue.
+        qual_dummy = np.zeros_like(f_seq)
+        seq_a, _qa, _al, _par = pk.prealign_reads(
+            f_seq, qual_dummy, f_pos[order], st[src])
+        seq_pad = np.zeros((Nb, seq_a.shape[1]), np.uint8)
+        seq_pad[:n] = seq_a
+        tiles = pk._pileup_tiles_nq_interpret(srtk, cntk, seq_pad,
+                                              ntiles=ntiles, T=T,
+                                              HALO_L=HALO_L, LP=LP, LP2=LP2,
+                                              K=K)
+        counts = tiles.transpose(1, 0, 2).reshape(16, wpad)
+        full = np.asarray(pk.counts_to_channels(counts, ref_p,
+                                                int(woff_rel), wpad))
+        if HAS_HARD:
+            hc = sem.pileup_channels(
+                seq[hrows], qual[hrows],
+                (refpos[hrows] - win_start).astype(np.int64), st[hrows],
+                np.ones((len(hrows), L), bool), ref_p, int(woff_rel),
+                0, wpad, cfg.minPhred)
+            full = full + hc.T.astype(np.uint32)
+
+        def finalize_interp():
+            # interpret mode is the exact CPU twin: all 4 channels (the
+            # NCH-packed readback contract applies to compiled mode only)
+            return np.ascontiguousarray(full.T.astype(np.uint32))[:W_fixed]
+
+        return finalize_interp
+
+    import os as _os
+    import time as _time
+
+    profile = _os.environ.get("MDTPU_PROFILE_DISPATCH") == "1"
+    t0 = _time.perf_counter() if profile else 0.0
+    sat_bits = _V3_SAT["bits"]
+    args = (jnp.asarray(seqpack), jnp.asarray(meta_i32), jnp.asarray(aux_u8),
+            jnp.int32(woff_rel), jnp.asarray(hseq), jnp.asarray(hqual),
+            jnp.asarray(hrefpos), jnp.asarray(hstrand), jnp.asarray(hkeep))
+    sel, overflow = _fused_window_pregated(*args, SAT_BITS=sat_bits,
+                                           **statics)
+    if profile:
+        t1 = _time.perf_counter()
+
+    def finalize():
+        if profile:
+            tf0 = _time.perf_counter()
+        sel_h, ovf_h = jax.device_get((sel, overflow))
+        if profile:
+            import sys as _sys
+
+            _sys.stderr.write(
+                f"[v3] n={n} Nb={Nb} GMAX={GMAX} dispatch={t1 - t0:.3f}s "
+                f"get={_time.perf_counter() - tf0:.3f}s "
+                f"up={seqpack.nbytes + meta_i32.nbytes + aux_u8.nbytes} "
+                f"down={np.asarray(sel_h).nbytes}\n")
+        if bool(ovf_h):
+            # saturation hit: refetch this window wide, and widen the
+            # readback for the rest of the process
+            if sat_bits == 8:
+                _V3_SAT["bits"] = 16
+            out = _fused_window_pregated_wide(*args, **statics)
+            return np.ascontiguousarray(
+                np.asarray(jax.device_get(out)).T[:W_fixed])
+        counters = np.zeros((wpad, 4), np.uint32)
+        counters[:, :NCH] = np.asarray(sel_h).T
+        return counters[:W_fixed]
+
+    return finalize
+
+
 def _rows_gapless(refpos, pos, l_qseq):
     """Rows whose aligned positions are exactly pos+j for j<l_qseq (single-M
     CIGAR) — eligible for the Pallas fast path.
@@ -697,13 +983,48 @@ def _rows_no_eq_base(seq, l_qseq):
     return ~((seq == 0) & (col < lq)).any(axis=1)
 
 
+class WindowHandle:
+    """Deferred window counters: the device program has been dispatched;
+    .get() performs the (blocking) readback and returns uint32 [W, 4].
+    Under the axon tunnel, dispatches and uploads are fire-and-forget and
+    only readbacks synchronize — so the engine can keep several windows in
+    flight and hide device time behind host prep of later windows."""
+
+    __slots__ = ("_fn", "_val")
+
+    def __init__(self, fn=None, value=None):
+        self._fn = fn
+        self._val = value
+
+    def get(self):
+        if self._fn is not None:
+            self._val = self._fn()
+            self._fn = None
+        return self._val
+
+
 def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
                                  win_offset, win_start, win_end, rstrand=None,
                                  interpret=False):
+    """Synchronous wrapper over dispatch_window_counters_fast (kept for the
+    tests and the threaded engine path)."""
+    h = dispatch_window_counters_fast(cfg, batch, strand_arr, keep,
+                                      ref_window, win_offset, win_start,
+                                      win_end, rstrand, interpret=interpret)
+    if h is None:
+        return None
+    return h.get()
+
+
+def dispatch_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
+                                  win_offset, win_start, win_end,
+                                  rstrand=None, interpret=False):
     """Hybrid window compute: gapless mate pairs + singles go through the
     Pallas kernels (arbitration + tile pileup); reads with indels (or any
     pair containing one) take the exact XLA scatter path; BED strand-column
     windows fall back entirely. Counter addition makes the split exact.
+    Returns a WindowHandle (readback deferred to .get()), or None when the
+    caller must fall back to the XLA path.
 
     Channel contract: with cfg.minOppositeDepth == 0 the packed readback
     ships only channels [meth, unmeth] — channels 2-3 (opposite coverage /
@@ -716,7 +1037,7 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
     W = win_end - win_start
     kidx = np.nonzero(keep)[0]
     if len(kidx) == 0:
-        return np.zeros((W, 4), dtype=np.uint32)
+        return WindowHandle(value=np.zeros((W, 4), dtype=np.uint32))
     L = batch.seq.shape[1]
     if rstrand is not None or L > 256:
         return None  # caller falls back to the XLA path
@@ -732,7 +1053,13 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
     st = strand_arr[kidx].astype(np.int32)
     flag = batch.flag[kidx].astype(np.uint16)
 
-    simple = _rows_gapless(refpos, pos, lq) & _rows_no_eq_base(seq, lq)
+    from ..io import native as _native
+
+    simple = _native.v3_flags(
+        seq, refpos if refpos.dtype == np.int32 else refpos.astype(np.int32),
+        pos, lq)
+    if simple is None:
+        simple = _rows_gapless(refpos, pos, lq) & _rows_no_eq_base(seq, lq)
     a_np, b_np = sem.pair_mates_batch(batch, kidx)
     pair_simple = np.ones(len(a_np), bool)
     if len(a_np):
@@ -747,15 +1074,39 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
 
     counters = np.zeros((W, 4), dtype=np.uint32)
 
+    import os as _os
+
+    if _os.environ.get("MDTPU_FUSED", "v3") != "v2":
+        # v3: arbitration + phred gating on HOST (native kernel, exact),
+        # then the pre-gated nibble-packed program — ~5x less upload and no
+        # device-side pair plumbing. seq/qual here are kidx copies, so the
+        # in-place arbitration never touches the caller's batch.
+        from ..io import native
+
+        if len(a_np):
+            fb = native.arbitrate(seq, qual, refpos, st, a_np, b_np)
+            if fb is None:
+                sem.arbitrate_overlaps(seq, qual, refpos, st, a_np, b_np)
+            elif len(fb):
+                sem._arbitrate_pairs_loop(seq, qual, refpos, st,
+                                          np.asarray(a_np)[fb],
+                                          np.asarray(b_np)[fb])
+        fin = _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
+                                 xla_rows, ref_window, win_start,
+                                 win_offset - win_start, W_fixed,
+                                 interpret=interpret)
+        if fin is None:
+            return None  # coverage skew: caller falls back to XLA dense
+        return WindowHandle(fn=lambda: np.ascontiguousarray(fin()[:W]))
+
     if not interpret:
-        part = _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag,
-                               a_np, b_np, pair_simple, xla_rows,
-                               ref_window, win_start,
-                               win_offset - win_start, W_fixed)
-        if part is None:
+        fin = _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag,
+                              a_np, b_np, pair_simple, xla_rows,
+                              ref_window, win_start,
+                              win_offset - win_start, W_fixed)
+        if fin is None:
             return None  # coverage skew: caller falls back
-        counters += part[:W]
-        return counters
+        return WindowHandle(fn=lambda: np.ascontiguousarray(fin()[:W]))
 
     # --- exact XLA path for the complicated rows
     if xla_rows.any():
@@ -839,7 +1190,7 @@ def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
         if part is None:
             return None  # coverage skew: caller falls back
         counters += part[:W]
-    return counters
+    return WindowHandle(value=counters)
 
 
 def _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag, a_np, b_np,
@@ -1006,12 +1357,6 @@ def _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag, a_np, b_np,
         hpb = np.zeros(1, np.int32)
         hpv = np.zeros(1, bool)
 
-    import os as _os
-    import time as _time
-
-    profile = _os.environ.get("MDTPU_PROFILE_DISPATCH") == "1"
-    if profile:
-        t0 = _time.perf_counter()
     args = (
         jnp.asarray(seq_p), jnp.asarray(qual_p), jnp.asarray(pos_p),
         jnp.asarray(parity_p), jnp.asarray(pa_p), jnp.asarray(pb_p),
@@ -1025,32 +1370,24 @@ def _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag, a_np, b_np,
                    HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX,
                    min_phred=cfg.minPhred, W=wpad, OVW=OVW,
                    HAS_HARD=HAS_HARD)
-    if profile:
-        for a in args:
-            if hasattr(a, "block_until_ready"):
-                a.block_until_ready()
-        t1 = _time.perf_counter()
     sel, overflow = _fused_window_packed(
         *args, jnp.asarray(cand_p), NCH=NCH, **statics)
-    if profile:
-        sel.block_until_ready()
-        t2 = _time.perf_counter()
-    sel = np.asarray(jax.device_get(sel))
-    if profile:
-        t3 = _time.perf_counter()
-        import sys as _sys
 
-        _sys.stderr.write(
-            f"[dispatch] n={len(seq)} upload={t1 - t0:.3f}s "
-            f"exec={t2 - t1:.3f}s readback={t3 - t2:.3f}s "
-            f"bytes_up={seq_p.nbytes + qual_p.nbytes} "
-            f"bytes_down={sel.nbytes}\n")
-    counters = np.zeros((wpad, 4), np.uint32)
-    if bool(overflow):  # depth > 65535 somewhere: refetch wide (rare)
-        out = _fused_window_wide(*args, **statics)
-        return np.ascontiguousarray(np.asarray(jax.device_get(out)).T[:W_fixed])
-    counters[cand, :NCH] = sel[:, :nc].T
-    return counters[:W_fixed]
+    def finalize():
+        # ONE device_get for both outputs: every round trip through the
+        # tunnel costs latency, and (axon) readbacks are the only real
+        # sync points — dispatches/uploads are fire-and-forget.
+        sel_h, ovf_h = jax.device_get((sel, overflow))
+        sel_h = np.asarray(sel_h)
+        if bool(ovf_h):  # depth > 65535 somewhere: refetch wide (rare)
+            out = _fused_window_wide(*args, **statics)
+            return np.ascontiguousarray(
+                np.asarray(jax.device_get(out)).T[:W_fixed])
+        counters = np.zeros((wpad, 4), np.uint32)
+        counters[cand, :NCH] = sel_h[:, :nc].T
+        return counters[:W_fixed]
+
+    return finalize
 
 
 def _arbitrate_pallas_interpret(sa, qa, sb, qb, LP2, max_shift):
@@ -1090,13 +1427,13 @@ def make_device_backend(cfg):
     interpret = on_cpu or os.environ.get("MDTPU_PALLAS_INTERPRET") == "1"
     use_pallas = os.environ.get("MDTPU_NO_PALLAS") != "1"
 
-    def compute(cfg, batch, strand_arr, keep, ref_window, win_offset, win_start,
-                win_end, rstrand=None):
+    def dispatch(cfg, batch, strand_arr, keep, ref_window, win_offset,
+                 win_start, win_end, rstrand=None):
         W = win_end - win_start
         if batch.n == 0:
-            return np.zeros((W, 4), dtype=np.uint32)
+            return WindowHandle(value=np.zeros((W, 4), dtype=np.uint32))
         if use_pallas:
-            fast = compute_window_counters_fast(
+            fast = dispatch_window_counters_fast(
                 cfg, batch, strand_arr, keep, ref_window, win_offset,
                 win_start, win_end, rstrand, interpret=interpret,
             )
@@ -1106,7 +1443,7 @@ def make_device_backend(cfg):
         # nothing — run only arbitration+pileup on device here.
         kidx = np.nonzero(keep)[0]
         if len(kidx) == 0:
-            return np.zeros((W, 4), dtype=np.uint32)
+            return WindowHandle(value=np.zeros((W, 4), dtype=np.uint32))
         sub = batch
         seq = jnp.asarray(sub.seq[kidx])
         qual = jnp.asarray(sub.qual[kidx])
@@ -1141,6 +1478,12 @@ def make_device_backend(cfg):
             jnp.asarray(keep_base), jnp.asarray(ref_window),
             win_offset, win_start, wpad, cfg.minPhred,
         )
-        return np.asarray(jax.device_get(counters))
+        return WindowHandle(fn=lambda: np.asarray(jax.device_get(counters)))
 
+    def compute(cfg, batch, strand_arr, keep, ref_window, win_offset,
+                win_start, win_end, rstrand=None):
+        return dispatch(cfg, batch, strand_arr, keep, ref_window, win_offset,
+                        win_start, win_end, rstrand).get()
+
+    compute.dispatch = dispatch
     return compute

@@ -41,10 +41,11 @@ SOA_ATTRS = ["flag", "tid", "pos", "mapq", "l_qseq", "endpos", "mtid", "mpos",
              "cigar_flat", "cigar_offsets", "order"]
 
 
-def md(args, cwd):
+def md(args, cwd, env_extra=None):
+    env = ENV if not env_extra else {**ENV, **env_extra}
     return subprocess.run(
         [sys.executable, "-m", "methyldackel_tpu.cli"] + args,
-        cwd=cwd, env=ENV, capture_output=True, text=True,
+        cwd=cwd, env=env, capture_output=True, text=True,
     )
 
 
@@ -248,3 +249,71 @@ def test_perread_and_mbias_cram_match_bam(tmp_path):
     b = md(["mbias", "--txt", "ct100.fa", "ct_aln.bam.cram", "mb_cram"], tmp_path)
     assert a.returncode == 0 and b.returncode == 0, a.stderr + b.stderr
     assert a.stdout == b.stdout
+
+
+# --------------------------------------------------------- streaming CRAM
+
+def test_streaming_cram_window_soa_matches_inmemory(tmp_path):
+    """StreamingCramFile (crai-guided container-at-a-time decode) serves
+    the same reads per window as the whole-file decode, with and without
+    the .crai (container-header scan fallback), and containers outside the
+    window are never decoded (O(window) memory)."""
+    from methyldackel_tpu.io.cram import StreamingCramFile
+    from methyldackel_tpu.utils.simulate import write_synthetic_input
+    import numpy as np
+
+    fa_path, bam_path = write_synthetic_input(str(tmp_path), 2000, 100,
+                                              1 << 18, seed=5)
+    fa = FastaFile(fa_path)
+    bam = BamFile(bam_path)
+    cram_path = str(tmp_path / "s.cram")
+    bam_to_cram(bam, fa, cram_path, slice_size=256)
+    full = CramFile(cram_path, fasta=fa)
+
+    for use_crai in (True, False):
+        if not use_crai:
+            os.rename(cram_path + ".crai", cram_path + ".crai.off")
+        try:
+            sc = StreamingCramFile(cram_path, fasta=fa, cache_containers=3)
+            for (start, end) in ((0, 65536), (65536, 131072),
+                                 (200000, 262144), (0, 1 << 18)):
+                view = sc.window_soa(0, start, end)
+                want = full.overlapping(0, start, end)
+                got = view.overlapping(0, start, end)
+                assert len(want) == len(got), (use_crai, start, end)
+                wb = full.batch(want)
+                gb = view.batch(got)
+                for f in ("flag", "pos", "l_qseq", "seq", "qual", "refpos"):
+                    np.testing.assert_array_equal(
+                        getattr(wb, f), getattr(gb, f), err_msg=f)
+                # decoded containers stay bounded by the window span
+                assert len(sc._cache) <= 3
+        finally:
+            if not use_crai:
+                os.rename(cram_path + ".crai.off", cram_path + ".crai")
+
+
+def test_streaming_cram_extract_byte_invariant(tmp_path):
+    """MDTPU_STREAM=1 on CRAM input must produce byte-identical extract
+    output to the in-memory mode (the BAM streaming invariant, extended)."""
+    from methyldackel_tpu.utils.simulate import write_synthetic_input
+
+    fa_path, bam_path = write_synthetic_input(str(tmp_path), 1500, 100,
+                                              1 << 18, seed=6)
+    bam = BamFile(bam_path)
+    fa = FastaFile(fa_path)
+    cram_path = str(tmp_path / "t.cram")
+    bam_to_cram(bam, fa, cram_path, slice_size=300)
+    (tmp_path / "mem").mkdir()
+    (tmp_path / "str").mkdir()
+    fa_rel = "../" + os.path.basename(fa_path)
+    r = md(["extract", "--chunkSize", "65536", fa_rel,
+            "../t.cram", "-o", "out"], tmp_path / "mem")
+    assert r.returncode == 0, r.stderr
+    r = md(["extract", "--chunkSize", "65536", fa_rel,
+            "../t.cram", "-o", "out"], tmp_path / "str",
+           env_extra={"MDTPU_STREAM": "1"})
+    assert r.returncode == 0, r.stderr
+    a = (tmp_path / "mem" / "out_CpG.bedGraph").read_bytes()
+    b = (tmp_path / "str" / "out_CpG.bedGraph").read_bytes()
+    assert a == b and len(a) > 0

@@ -11,6 +11,7 @@ from util_bigwig import write_bigwig
 ENV = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
            + os.pathsep + os.environ.get("PYTHONPATH", ""),
            MDTPU_ENGINE=os.environ.get("MDTPU_ENGINE", "host"))
+REF = "/root/reference/tests"
 
 
 def md(args, cwd):
@@ -113,3 +114,57 @@ def test_nobam_bbm_conversion(fixture_dir):
     names, lengths, values = read_bbm(str(fixture_dir / "conv.bbm"))
     assert names == ["chrCG"] and lengths == [100]
     assert (values[0] == 50).all()
+
+
+# ------------------------------------------------------- bgzipped FASTA
+
+def _bgzip_file(src, dst, block=4096):
+    from util_bam import _bgzf_block, _EOF
+
+    data = open(src, "rb").read()
+    with open(dst, "wb") as fh:
+        for i in range(0, len(data), block):
+            fh.write(_bgzf_block(data[i : i + block]))
+        fh.write(_EOF)
+
+
+def test_bgzf_fasta_fetch_matches_plaintext(tmp_path):
+    """FastaFile reads bgzip-compressed FASTA transparently (htslib faidx
+    behavior, extract.c:381): same fetches, same .fai geometry."""
+    from methyldackel_tpu.io.fasta import FastaFile
+
+    src = os.path.join(REF, "cg100.fa")
+    gz = str(tmp_path / "cg100.fa.gz")
+    _bgzip_file(src, gz, block=37)  # tiny blocks: many-block ranges
+    a = FastaFile(src)
+    b = FastaFile(gz)
+    assert a.names == b.names
+    for name in a.names:
+        assert a.seq_len(name) == b.seq_len(name)
+        n = a.seq_len(name)
+        for s, e in ((0, n - 1), (5, 20), (n - 3, n + 10), (0, 0)):
+            np.testing.assert_array_equal(a.fetch(name, s, e),
+                                          b.fetch(name, s, e))
+
+
+def test_bgzf_fasta_extract_byte_identical(tmp_path):
+    """extract on a bgzipped reference equals the plaintext run byte for
+    byte."""
+    import shutil
+
+    for f in ("cg_aln.bam", "cg_aln.bam.bai"):
+        if os.path.exists(os.path.join(REF, f)):
+            shutil.copy(os.path.join(REF, f), tmp_path / f)
+    _bgzip_file(os.path.join(REF, "cg100.fa"), str(tmp_path / "cg100.fa.gz"))
+    shutil.copy(os.path.join(REF, "cg100.fa"), tmp_path / "cg100.fa")
+    (tmp_path / "p").mkdir()
+    (tmp_path / "z").mkdir()
+    r = md(["extract", "-q", "2", "../cg100.fa", "../cg_aln.bam", "-o", "out"],
+           tmp_path / "p")
+    assert r.returncode == 0, r.stderr
+    r = md(["extract", "-q", "2", "../cg100.fa.gz", "../cg_aln.bam", "-o",
+            "out"], tmp_path / "z")
+    assert r.returncode == 0, r.stderr
+    a = (tmp_path / "p" / "out_CpG.bedGraph").read_bytes()
+    b = (tmp_path / "z" / "out_CpG.bedGraph").read_bytes()
+    assert a == b and len(a) > 0
