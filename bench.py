@@ -244,39 +244,62 @@ def bench_e2e_fused(batch, ref_ascii, W, iters, batches=None):
     return dt
 
 
-def bench_cli(n_pairs, read_len, glen, engine="jax"):
-    """Full-product benchmark: a synthetic coordinate-sorted BAM through the
-    real `extract` CLI (in-process), ingest → bytes-out. Returns
-    (reads_per_s, n_reads). This is what a user actually gets."""
+_CLI_INPUT = {}
+
+
+def make_cli_input(n_pairs, read_len, glen):
+    """Build (once per shape) the synthetic coordinate-sorted BAM + FASTA
+    the CLI benchmark runs over."""
     import tempfile
-    import shutil
 
     from methyldackel_tpu.utils.simulate import write_synthetic_input
-    from methyldackel_tpu import cli as mdcli
     from methyldackel_tpu.io.bam import BamFile
     from methyldackel_tpu.io.bai import build_bai
 
-    d = tempfile.mkdtemp(prefix="mdtpu_bench_")
-    try:
+    key = (n_pairs, read_len, glen)
+    if key not in _CLI_INPUT:
+        d = tempfile.mkdtemp(prefix="mdtpu_bench_")
         fa, bam = write_synthetic_input(d, n_pairs, read_len, glen, seed=0)
         build_bai(BamFile(bam), bam + ".bai")  # steady state: index present
-        old = os.environ.get("MDTPU_ENGINE")
-        os.environ["MDTPU_ENGINE"] = engine
-        try:
-            t0 = time.perf_counter()
-            rc = mdcli.main(["extract", fa, bam, "-o", os.path.join(d, "out")])
-            dt = time.perf_counter() - t0
-        finally:
-            if old is None:
-                os.environ.pop("MDTPU_ENGINE", None)
-            else:
-                os.environ["MDTPU_ENGINE"] = old
-        assert rc == 0
-        out = os.path.join(d, "out_CpG.bedGraph")
-        assert os.path.getsize(out) > 0
-        return 2 * n_pairs / dt, 2 * n_pairs
+        _CLI_INPUT[key] = (d, fa, bam)
+    return _CLI_INPUT[key]
+
+
+def run_cli(fa, bam, engine, threads=1):
+    """One timed extract CLI run (in-process), ingest → bytes-out."""
+    import tempfile
+
+    from methyldackel_tpu import cli as mdcli
+
+    outdir = tempfile.mkdtemp(prefix="mdtpu_bench_out_")
+    old = os.environ.get("MDTPU_ENGINE")
+    os.environ["MDTPU_ENGINE"] = engine
+    targs = ["-@", str(threads)] if threads > 1 else []
+    try:
+        t0 = time.perf_counter()
+        rc = mdcli.main(["extract", *targs, fa, bam,
+                         "-o", os.path.join(outdir, "out")])
+        dt = time.perf_counter() - t0
     finally:
-        shutil.rmtree(d, ignore_errors=True)
+        if old is None:
+            os.environ.pop("MDTPU_ENGINE", None)
+        else:
+            os.environ["MDTPU_ENGINE"] = old
+    assert rc == 0
+    out = os.path.join(outdir, "out_CpG.bedGraph")
+    assert os.path.getsize(out) > 0
+    import shutil
+
+    shutil.rmtree(outdir, ignore_errors=True)
+    return dt
+
+
+def bench_cli(n_pairs, read_len, glen, engine="jax", threads=1):
+    """Full-product benchmark: the real `extract` CLI over a synthetic BAM.
+    Returns (reads_per_s, n_reads). This is what a user actually gets."""
+    _d, fa, bam = make_cli_input(n_pairs, read_len, glen)
+    dt = run_cli(fa, bam, engine, threads)
+    return 2 * n_pairs / dt, 2 * n_pairs
 
 
 def main():
@@ -314,19 +337,29 @@ def main():
         "vs_baseline": round(reads_per_s / host_rps, 3),
     }
     # Full-CLI number (ingest → bytes-out through the real product), unless
-    # explicitly disabled. ~1M reads by default.
+    # explicitly disabled. ~1M reads by default. Engines are INTERLEAVED
+    # over several repetitions (medians reported): this host's effective
+    # CPU speed drifts a lot over minutes, so back-to-back single runs are
+    # not comparable. One untimed jax pass first absorbs the one-time
+    # compile-cache executable loads (a production run amortizes these
+    # over a whole genome).
     if os.environ.get("MDTPU_BENCH_CLI", "1") != "0":
         cli_pairs = int(os.environ.get("MDTPU_BENCH_CLI_PAIRS", 500_000))
-        cli_rps, cli_n = bench_cli(cli_pairs, L, 1 << 23,
-                                   engine=os.environ.get("MDTPU_BENCH_CLI_ENGINE",
-                                                         "jax"))
-        result["cli_reads_per_s"] = round(cli_rps, 1)
+        reps = int(os.environ.get("MDTPU_BENCH_CLI_REPS", 3))
+        _d, fa, bam = make_cli_input(cli_pairs, L, 1 << 23)
+        dev_engine = os.environ.get("MDTPU_BENCH_CLI_ENGINE", "jax")
+        run_cli(fa, bam, dev_engine)  # warm: compiles/executable loads
+        times = {dev_engine: [], "host": []}
+        for _ in range(reps):
+            for eng in (dev_engine, "host"):
+                times[eng].append(run_cli(fa, bam, eng))
+        cli_n = 2 * cli_pairs
+        result["cli_reads_per_s"] = round(cli_n / float(np.median(times[dev_engine])), 1)
         result["cli_n_reads"] = cli_n
         # The exact host engine is the other production path (auto picks it
         # with no TPU attached); report both so the engine tradeoff on this
         # host/tunnel is visible.
-        host_cli_rps, _ = bench_cli(cli_pairs, L, 1 << 23, engine="host")
-        result["cli_host_reads_per_s"] = round(host_cli_rps, 1)
+        result["cli_host_reads_per_s"] = round(cli_n / float(np.median(times["host"])), 1)
     print(json.dumps(result))
 
 

@@ -104,4 +104,38 @@ int mdtpu_v3_pack(const uint8_t* seq, const uint8_t* qual,
   return 0;
 }
 
+// 2-bit SEMANTIC pack for the default (meth/unmeth-only) windows: per
+// source row i with parity p = strand[i] & 1, the strand's methylated
+// base is C (code 2) on odd rows / G (code 4) on even rows and the
+// unmethylated base is T (8) / A (1). Each pre-gated base maps to
+//   1 = meth base, 2 = unmeth base, 0 = everything else
+// and packs 4 codes/byte (code j in bits 2*(j&3)). seqpack2 is
+// [nf_cap, ceil(L/4)], zero-initialized by the caller.
+int mdtpu_v3_pack2(const uint8_t* seq, const uint8_t* qual,
+                   const int64_t* src_rows, const int64_t* pos,
+                   const int32_t* strand, int64_t nf, int64_t L, int64_t Lq,
+                   int64_t win_start, int min_phred, uint8_t* seqpack,
+                   int32_t* pos_p, uint8_t* parity_p, int nthreads) {
+  if (!seq || !qual || !src_rows || !pos || !strand || !seqpack || !pos_p ||
+      !parity_p)
+    return -1;
+  parallel_rows(nf, nthreads, [&](int64_t r) {
+    const int64_t i = src_rows[r];
+    const uint8_t* sq = seq + i * L;
+    const uint8_t* ql = qual + i * L;
+    const int p = strand[i] & 1;
+    const uint8_t meth = p ? 2 : 4;    // C : G
+    const uint8_t unmeth = p ? 8 : 1;  // T : A
+    uint8_t* out = seqpack + r * Lq;
+    for (int64_t j = 0; j < L; ++j) {
+      const uint8_t c = ql[j] >= min_phred ? sq[j] : 0;
+      const uint8_t v = c == meth ? 1 : (c == unmeth ? 2 : 0);
+      out[j >> 2] = static_cast<uint8_t>(out[j >> 2] | (v << (2 * (j & 3))));
+    }
+    pos_p[r] = static_cast<int32_t>(pos[i] - win_start);
+    parity_p[r] = static_cast<uint8_t>(p);
+  });
+  return 0;
+}
+
 }  // extern "C"

@@ -638,6 +638,15 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
         win_iter = ((i, w) for i, w in win_iter if i % n_hosts == host_id)
     n_threads = max(1, int(getattr(cfg, "nThreads", 1) or 1))
     pipeline_depth = max(1, int(_os.environ.get("MDTPU_PIPELINE", "3") or 1))
+    # MDTPU_INTERNAL_WORKERS=N (device engines at -@ 1): replace the async
+    # pipeline with an N-worker sync pool. Measured SLOWER than the async
+    # pipeline on the 2-core dev host (63k vs 136k reads/s) — workers block
+    # in device_get while the pipeline keeps dispatching — so the default
+    # is 0 (off); kept as an experiment knob for bigger hosts.
+    internal_workers = int(_os.environ.get("MDTPU_INTERNAL_WORKERS", "0"))
+    if n_threads == 1 and dispatch_fn is not None and compute_lock is None \
+            and internal_workers > 1:
+        n_threads = internal_workers
     if n_threads == 1 and dispatch_fn is not None and compute_lock is None \
             and pipeline_depth > 1:
         # Single-thread async pipeline: keep `pipeline_depth` windows in

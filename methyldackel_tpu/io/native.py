@@ -13,6 +13,23 @@ import os
 
 _LIB = None
 _TRIED = False
+_NTHREADS = None  # None = os.cpu_count()
+
+
+def set_threads(n) -> None:
+    """Cap the native kernels' internal thread count. The engine sets this
+    to cpu_count // n_workers under -@ worker pools: every kernel spawning
+    cpu_count threads per call from every worker oversubscribes a small
+    host catastrophically (measured: -@4 on 2 cores ran 4x SLOWER than
+    -@2 before this cap)."""
+    global _NTHREADS
+    _NTHREADS = max(1, int(n)) if n else None
+
+
+def _nthreads() -> int:
+    if _NTHREADS is not None:
+        return _NTHREADS
+    return os.cpu_count() or 1
 
 
 def _lib_path() -> str:
@@ -110,6 +127,8 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int,
             ]
+            lib.mdtpu_v3_pack2.restype = ctypes.c_int
+            lib.mdtpu_v3_pack2.argtypes = lib.mdtpu_v3_pack.argtypes
             lib._has_v3 = True
         except AttributeError:
             lib._has_v3 = False
@@ -140,7 +159,7 @@ def bgzf_decompress(data: bytes) -> bytes:
     if bound < 0:
         raise ValueError("malformed BGZF stream")
     out = ctypes.create_string_buffer(bound)
-    n = lib.mdtpu_bgzf_decompress(data, len(data), out, bound, os.cpu_count() or 1)
+    n = lib.mdtpu_bgzf_decompress(data, len(data), out, bound, _nthreads())
     if n < 0:
         raise ValueError("BGZF inflation failed")
     return out.raw[:n]
@@ -189,7 +208,7 @@ def bam_decode(data: bytes, start: int):
         return a.ctypes.data_as(ctypes.c_void_p)
 
     rc = lib.mdtpu_bam_decode(
-        data, len(data), start, os.cpu_count() or 1,
+        data, len(data), start, _nthreads(),
         ptr(out["flag"]), ptr(out["tid"]), ptr(out["pos"]), ptr(out["mapq"]),
         ptr(out["l_qseq"]), ptr(out["endpos"]), ptr(out["mtid"]),
         ptr(out["mpos"]), ptr(out["xg"]), ptr(out["nh"]),
@@ -223,7 +242,7 @@ def pad_batch(offsets, idx, seq_flat, qual_flat, refpos_flat, L):
 
     rc = lib.mdtpu_pad_batch(ptr(offsets), ptr(idx), n, L, ptr(seq_flat),
                              ptr(qual_flat), ptr(refpos_flat), ptr(seq),
-                             ptr(qual), ptr(refpos), os.cpu_count() or 1)
+                             ptr(qual), ptr(refpos), _nthreads())
     if rc != 0:
         return None
     return seq, qual, refpos
@@ -292,7 +311,7 @@ def pileup_channels(seq, qual, refpos, strand_arr, keep_base, ref_window,
     rc = lib.mdtpu_pileup(ptr(seq), ptr(qual), ptr(refpos), ptr(strand),
                           ptr(kb), n, l, ptr(ref_window), len(ref_window),
                           win_offset, win_start, win_end, int(min_phred),
-                          ptr(counters), os.cpu_count() or 1)
+                          ptr(counters), _nthreads())
     if rc != 0:
         return None
     return counters
@@ -352,7 +371,7 @@ def v3_flags(seq, refpos, pos, lq):
         return a.ctypes.data_as(ctypes.c_void_p)
 
     rc = lib.mdtpu_v3_flags(ptr(seq), ptr(refpos), ptr(pos), ptr(lq), n, L,
-                            ptr(out), os.cpu_count() or 1)
+                            ptr(out), _nthreads())
     if rc != 0:
         return None
     return out.astype(bool)
@@ -388,7 +407,43 @@ def v3_pack(seq, qual, src_rows, pos, strand, Lh, nf_cap, win_start,
     rc = lib.mdtpu_v3_pack(ptr(seq), ptr(qual), ptr(src_rows), ptr(pos),
                            ptr(strand), nf, L, Lh, win_start, int(min_phred),
                            ptr(seqpack), ptr(pos_p), ptr(parity_p),
-                           os.cpu_count() or 1)
+                           _nthreads())
+    if rc != 0:
+        return None
+    return seqpack, pos_p, parity_p
+
+
+def v3_pack2(seq, qual, src_rows, pos, strand, Lq, nf_cap, win_start,
+             min_phred):
+    """Fused gather + phred pre-gate + SEMANTIC 2-bit pack (meth=1,
+    unmeth=2 per the row's strand parity; 4 codes/byte) into the v3 NCH=2
+    upload layout. Returns (seqpack2 [nf_cap, Lq] u8, pos_p int32,
+    parity_p u8) or None."""
+    import numpy as np
+    import os
+
+    lib = _load()
+    if lib is None or not lib._has_v3:
+        return None
+    if not (seq.flags.c_contiguous and seq.dtype == np.uint8
+            and qual.flags.c_contiguous and qual.dtype == np.uint8):
+        return None
+    src_rows = np.ascontiguousarray(src_rows, np.int64)
+    pos = np.ascontiguousarray(pos, np.int64)
+    strand = np.ascontiguousarray(strand, np.int32)
+    n, L = seq.shape
+    nf = len(src_rows)
+    seqpack = np.zeros((nf_cap, Lq), np.uint8)
+    pos_p = np.zeros(nf_cap, np.int32)
+    parity_p = np.zeros(nf_cap, np.uint8)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.mdtpu_v3_pack2(ptr(seq), ptr(qual), ptr(src_rows), ptr(pos),
+                            ptr(strand), nf, L, Lq, win_start,
+                            int(min_phred), ptr(seqpack), ptr(pos_p),
+                            ptr(parity_p), _nthreads())
     if rc != 0:
         return None
     return seqpack, pos_p, parity_p

@@ -276,6 +276,132 @@ def _pileup_tiles_nq_interpret(srtk, cntk, seq, *, ntiles, T, HALO_L, LP,
     return out
 
 
+def _kernel_nq2(srtk_ref, cntk_ref, seq_hbm, out_ref, seq_v, acc, sems, *,
+                T, HALO_L, LP, LP2, K, GMAX):
+    """2-bit-code variant of _kernel_nq for the default (NCH=2) extract
+    windows: the host encodes each pre-gated base SEMANTICALLY — 1 = the
+    strand's methylated base (C on OT-side rows, G on OB-side), 2 = the
+    unmethylated base (T / A), 0 = everything else — so only two counters
+    per parity exist and the uploaded codes pack 4 bases/byte. Output rows:
+    [odd_meth, odd_unmeth, even_meth, even_unmeth, 0...]."""
+    t = pl.program_id(0)
+
+    def group_dma(k, slot):
+        srt = srtk_ref[t * K + k]
+        base = pl.multiple_of((srt // 32) * 32, 32)
+        return pltpu.make_async_copy(seq_hbm.at[pl.ds(base, GMAX)],
+                                     seq_v.at[slot], sems.at[slot])
+
+    group_dma(0, 0).start()
+    acc[...] = jnp.zeros_like(acc)
+
+    for k in range(K):
+        slot = k % 2
+        if k + 1 < K:
+            group_dma(k + 1, (k + 1) % 2).start()
+        group_dma(k, slot).wait()
+
+        srt = srtk_ref[t * K + k]
+        gcnt = cntk_ref[t * K + k]
+        rem = srt - (srt // 32) * 32
+
+        s_all = seq_v[slot].astype(jnp.int32)
+        s = s_all & 15
+        odd_i = (s_all >> 5) & 1
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (GMAX, 1), 0)
+        rowmask = ((rowid >= rem) & (rowid < rem + gcnt)).astype(jnp.int32)
+        enc = rowmask * (1 + (odd_i << 16))
+
+        meth = jnp.sum(enc * (s == 1).astype(jnp.int32), axis=0,
+                       keepdims=True)
+        unmeth = jnp.sum(enc * (s == 2).astype(jnp.int32), axis=0,
+                         keepdims=True)
+        packed = jnp.concatenate([meth, unmeth], axis=0)  # [2, LP2]
+        odd_block = packed >> 16
+        even_block = (packed & 0xFFFF) - odd_block
+        zero = jnp.zeros((4, LP2), jnp.int32)
+        chan = jnp.concatenate([odd_block, even_block, zero], axis=0)
+
+        off = pl.multiple_of((HALO_L - LP) + k * 128, 128)
+        acc[:, pl.ds(off, LP2)] += chan
+
+    out_ref[...] = acc[:, HALO_L : HALO_L + T]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ntiles", "T", "HALO_L", "LP", "LP2", "K", "GMAX"),
+)
+def _pileup_tiles_nq2(srtk, cntk, seq, *, ntiles, T, HALO_L, LP, LP2, K,
+                      GMAX):
+    assert GMAX * (1 + (1 << 16)) < 2**31
+    tplus = T + HALO_L + LP2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (8, T), lambda t, *_: (0, t), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, GMAX, LP2), jnp.uint8),
+            pltpu.VMEM((8, tplus), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel_nq2, T=T, HALO_L=HALO_L, LP=LP,
+                               LP2=LP2, K=K, GMAX=GMAX)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, ntiles * T), jnp.int32),
+    )(srtk, cntk, seq)
+
+
+def _pileup_tiles_nq2_interpret(srtk, cntk, seq, *, ntiles, T, HALO_L, LP,
+                                LP2, K):
+    """CPU execution of the 2-bit kernel math (for parity tests)."""
+    out = np.zeros((ntiles, 8, T), np.int32)
+    for t in range(ntiles):
+        acc = np.zeros((8, T + HALO_L + LP2), np.int32)
+        for k in range(K):
+            srt = int(srtk[t * K + k])
+            gcnt = int(cntk[t * K + k])
+            off = (HALO_L - LP) + k * 128
+            for c in range(gcnt):
+                r = srt + c
+                s_all = seq[r].astype(np.int32)
+                s = s_all & 15
+                odd = (s_all >> 5) & 1
+                for par_val, base in ((1, 0), (0, 2)):
+                    pm = (odd == par_val).astype(np.int32)
+                    acc[base + 0, off : off + LP2] += pm * (s == 1)
+                    acc[base + 1, off : off + LP2] += pm * (s == 2)
+        out[t] = acc[:, HALO_L : HALO_L + T]
+    return out
+
+
+def unpack_bits_device(packed, W):
+    """[ceil(W/8)] packed bits (np.packbits big-endian order) → bool [W]."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[:, None] >> shifts[None, :]) & 1
+    return bits.reshape(-1)[:W] != 0
+
+
+def channels_nch2(counts, isc_bits, isg_bits, W):
+    """Epilogue for the 2-bit semantic coding: counts [8, W] from
+    _pileup_tiles_nq2 (rows odd_meth/odd_unmeth/even_meth/even_unmeth) +
+    host-packed per-window-coordinate reference masks → [2, W] uint32
+    (meth, unmeth). The host already applied the window/ref frame shift
+    when packing isc/isg, so no dynamic slicing happens on device."""
+    counts = jnp.asarray(counts)
+    is_c = unpack_bits_device(isc_bits, W)
+    is_g = unpack_bits_device(isg_bits, W)
+    meth = jnp.where(is_c, counts[0], jnp.where(is_g, counts[2], 0))
+    unmeth = jnp.where(is_c, counts[1], jnp.where(is_g, counts[3], 0))
+    return jnp.stack([meth, unmeth], axis=0).astype(jnp.uint32)
+
+
 def counts_to_channels(counts, ref_window, win_offset_rel, W):
     """XLA epilogue: 12 per-parity base counts → the 4 reference-dependent
     channels of extract.c:420-441 (meth, unmeth, opposite coverage,

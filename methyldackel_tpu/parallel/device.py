@@ -772,6 +772,69 @@ def _fused_window_pregated_wide(seqpack, meta_i32, aux_u8, woff_rel, hseq,
     return full
 
 
+_V32_STATICS = ("Nb", "Lq", "LP2", "L4", "ntiles", "T", "HALO_L", "LP", "K",
+                "GMAX", "W", "nbits", "ref_static", "HAS_HARD", "min_phred",
+                "SAT_BITS")
+
+
+def _v32_core(seqpack, meta_i32, aux_u8, woff_rel, hseq, hqual, hrefpos,
+              hstrand, hkeep, *, Nb, Lq, LP2, L4, ntiles, T, HALO_L, LP, K,
+              GMAX, W, nbits, ref_static, HAS_HARD, min_phred):
+    """Shared trace of the 2-bit semantic window program: unpack 4
+    codes/byte → barrel-shift phase alignment → 2-counter Pallas kernel →
+    host-packed ref-mask epilogue (+ the dense hard-row path). Returns
+    uint32 [2, W] (meth, unmeth)."""
+    from ..ops import pileup_pallas as pk
+
+    G = ntiles * K
+    pos_p = meta_i32[:Nb]
+    srtk = meta_i32[Nb : Nb + G]
+    cntk = meta_i32[Nb + G : Nb + 2 * G]
+    parity = aux_u8[:Nb]
+    isc = aux_u8[Nb : Nb + nbits]
+    isg = aux_u8[Nb + nbits : Nb + 2 * nbits]
+
+    # 2-bit unpack: code j of a byte sits in bits 2*(j&3)
+    seq = jnp.stack([(seqpack >> s) & 3 for s in (0, 2, 4, 6)],
+                    axis=-1).reshape(Nb, L4)
+    x = jnp.pad(seq, ((0, 0), (0, LP2 - L4)))
+    sh = pos_p.astype(jnp.int32) % 128
+    for k in range(7):
+        bit = ((sh >> k) & 1)[:, None] == 1
+        s = 1 << k
+        x = jnp.where(bit, jnp.pad(x, ((0, 0), (s, 0)))[:, :LP2], x)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, LP2), 1)
+    ok = (col >= sh[:, None]) & (col < sh[:, None] + L4)
+    seq_a = jnp.where(ok, x | (parity[:, None] << 5), 0).astype(jnp.uint8)
+
+    tiles = pk._pileup_tiles_nq2(srtk, cntk, seq_a, ntiles=ntiles, T=T,
+                                 HALO_L=HALO_L, LP=LP, LP2=LP2, K=K,
+                                 GMAX=GMAX)
+    ch2 = pk.channels_nch2(tiles[:, :W], isc, isg, W)  # [2, W] uint32
+    if HAS_HARD:
+        ref_p = aux_u8[Nb + 2 * nbits : Nb + 2 * nbits + ref_static]
+        hc = pileup_device(hseq, hqual, hrefpos, hstrand, hkeep,
+                           jnp.ones(hseq.shape, bool), ref_p, woff_rel,
+                           jnp.int32(0), W, min_phred)  # [W, 4] uint32
+        ch2 = ch2 + hc.T[:2]
+    return ch2
+
+
+@functools.partial(jax.jit, static_argnames=_V32_STATICS)
+def _fused_window_pregated2(*args, SAT_BITS, **statics):
+    ch2 = _v32_core(*args, **statics)
+    if SAT_BITS == 8:
+        overflow = jnp.any(ch2 > jnp.uint32(0xFF))
+        return ch2.astype(jnp.uint8), overflow
+    overflow = jnp.any(ch2 > jnp.uint32(0xFFFF))
+    return ch2.astype(jnp.uint16), overflow
+
+
+@functools.partial(jax.jit, static_argnames=_V32_STATICS[:-1])
+def _fused_window_pregated2_wide(*args, **statics):
+    return _v32_core(*args, **statics)
+
+
 # Readback width state: start with u8 (half the readback bytes); after the
 # first depth>255 overflow, stay at u16 for the rest of the process so deep
 # datasets don't pay a wide refetch per window.
@@ -798,8 +861,13 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
     L = seq.shape[1]
     Lh = (L + 1) // 2
     L2 = 2 * Lh
-    LP = _round_up(max(L2, 128), 128)
-    LP2 = _round_up(L2 + 127, 128)
+    Lq = (L + 3) // 4
+    L4 = 4 * Lq
+    # Unified kernel geometry: L4 >= L2 bounds both unpacked row widths,
+    # so the group tables and tile shapes are shared by the 4-bit (NCH=4)
+    # and 2-bit (NCH=2) programs.
+    LP = _round_up(max(L4, 128), 128)
+    LP2 = _round_up(L4 + 127, 128)
     T = 512
     HALO_L = LP + 128
     wpad = _round_up(W_fixed, T)
@@ -827,22 +895,51 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
     Nb = 256
     while Nb < n + GMAX:
         Nb *= 2
-    nat = None if interpret else native.v3_pack(
-        seq, qual, src, pos, st, Lh, Nb, win_start, cfg.minPhred)
-    if nat is not None:
-        seqpack, pos_p, parity_p = nat
+    NCH = 4 if cfg.minOppositeDepth > 0 else 2
+    # NCH=2 (the default): the emit path reads only meth/unmeth, so codes
+    # reduce to SEMANTIC 2-bit values (1=meth base, 2=unmeth base for the
+    # row's strand) packed 4/byte — half the 4-bit upload again.
+    use_2bit = NCH == 2 and not interpret
+    if use_2bit:
+        nat = native.v3_pack2(seq, qual, src, pos, st, Lq, Nb, win_start,
+                              cfg.minPhred)
+        if nat is not None:
+            seqpack, pos_p, parity_p = nat
+        else:
+            par = (st[src] & 1).astype(np.uint8)
+            mc = np.where(par == 1, 2, 4).astype(np.uint8)[:, None]
+            uc = np.where(par == 1, 8, 1).astype(np.uint8)[:, None]
+            g = np.where(qual[src] >= cfg.minPhred, seq[src], 0).astype(
+                np.uint8)
+            v = np.where(g == mc, 1,
+                         np.where(g == uc, 2, 0)).astype(np.uint8)
+            if L4 != L:
+                v = np.concatenate(
+                    [v, np.zeros((n, L4 - L), np.uint8)], axis=1)
+            seqpack = np.zeros((Nb, Lq), np.uint8)
+            seqpack[:n] = (v[:, 0::4] | (v[:, 1::4] << 2)
+                           | (v[:, 2::4] << 4) | (v[:, 3::4] << 6))
+            pos_p = np.zeros(Nb, np.int32)
+            pos_p[:n] = f_pos[order]
+            parity_p = np.zeros(Nb, np.uint8)
+            parity_p[:n] = par
     else:
-        f_seq = np.where(qual[src] >= cfg.minPhred, seq[src], 0).astype(
-            np.uint8)
-        if L % 2:
-            f_seq = np.concatenate(
-                [f_seq, np.zeros((n, 1), np.uint8)], axis=1)
-        seqpack = np.zeros((Nb, Lh), np.uint8)
-        seqpack[:n] = f_seq[:, 0::2] | (f_seq[:, 1::2] << 4)
-        pos_p = np.zeros(Nb, np.int32)
-        pos_p[:n] = f_pos[order]
-        parity_p = np.zeros(Nb, np.uint8)
-        parity_p[:n] = (st[src] & 1).astype(np.uint8)
+        nat = None if interpret else native.v3_pack(
+            seq, qual, src, pos, st, Lh, Nb, win_start, cfg.minPhred)
+        if nat is not None:
+            seqpack, pos_p, parity_p = nat
+        else:
+            f_seq = np.where(qual[src] >= cfg.minPhred, seq[src], 0).astype(
+                np.uint8)
+            if L2 != L:
+                f_seq = np.concatenate(
+                    [f_seq, np.zeros((n, L2 - L), np.uint8)], axis=1)
+            seqpack = np.zeros((Nb, Lh), np.uint8)
+            seqpack[:n] = f_seq[:, 0::2] | (f_seq[:, 1::2] << 4)
+            pos_p = np.zeros(Nb, np.int32)
+            pos_p[:n] = f_pos[order]
+            parity_p = np.zeros(Nb, np.uint8)
+            parity_p[:n] = (st[src] & 1).astype(np.uint8)
     meta_i32 = np.concatenate([pos_p, srtk, cntk])
 
     assert -512 <= woff_rel <= 512, woff_rel
@@ -850,8 +947,6 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
     ref_p = np.zeros(ref_static, np.uint8)
     seqlen = min(len(ref_window), ref_static)
     ref_p[:seqlen] = np.asarray(ref_window[:seqlen], np.uint8)
-    aux_u8 = np.concatenate([parity_p, ref_p])
-    NCH = 4 if cfg.minOppositeDepth > 0 else 2
 
     hrows = np.nonzero(xla_rows)[0]
     HAS_HARD = bool(len(hrows))
@@ -878,11 +973,6 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
         hrefpos = np.full((1, L), -2, np.int32)
         hstrand = np.ones(1, np.int32)
         hkeep = np.zeros(1, bool)
-
-    statics = dict(Nb=Nb, Lh=Lh, LP2=LP2, L2=L2, ntiles=ntiles, T=T,
-                   HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, W=wpad,
-                   ref_static=ref_static, NCH=NCH, HAS_HARD=HAS_HARD,
-                   min_phred=cfg.minPhred)
 
     if interpret:
         # CPU twin of the full program (exercised by the CPU test suite):
@@ -920,11 +1010,38 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
     profile = _os.environ.get("MDTPU_PROFILE_DISPATCH") == "1"
     t0 = _time.perf_counter() if profile else 0.0
     sat_bits = _V3_SAT["bits"]
+    if use_2bit:
+        nbits = wpad // 8
+        idx = np.arange(wpad, dtype=np.int64) - woff_rel
+        inr = (idx >= 0) & (idx < ref_static)
+        rbw = np.where(inr, ref_p[np.clip(idx, 0, ref_static - 1)], 0)
+        # the window/ref frame shift is applied HERE, so the device needs
+        # no ref bytes at all unless hard rows ride along
+        parts = [parity_p, np.packbits(rbw == REF_C),
+                 np.packbits(rbw == REF_G)]
+        rs2 = 0
+        if HAS_HARD:
+            parts.append(ref_p)
+            rs2 = ref_static
+        aux_u8 = np.concatenate(parts)
+        statics = dict(Nb=Nb, Lq=Lq, LP2=LP2, L4=L4, ntiles=ntiles, T=T,
+                       HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, W=wpad,
+                       nbits=nbits, ref_static=rs2, HAS_HARD=HAS_HARD,
+                       min_phred=cfg.minPhred)
+        program, program_wide = _fused_window_pregated2, \
+            _fused_window_pregated2_wide
+    else:
+        aux_u8 = np.concatenate([parity_p, ref_p])
+        statics = dict(Nb=Nb, Lh=Lh, LP2=LP2, L2=L2, ntiles=ntiles, T=T,
+                       HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, W=wpad,
+                       ref_static=ref_static, NCH=NCH, HAS_HARD=HAS_HARD,
+                       min_phred=cfg.minPhred)
+        program, program_wide = _fused_window_pregated, \
+            _fused_window_pregated_wide
     args = (jnp.asarray(seqpack), jnp.asarray(meta_i32), jnp.asarray(aux_u8),
             jnp.int32(woff_rel), jnp.asarray(hseq), jnp.asarray(hqual),
             jnp.asarray(hrefpos), jnp.asarray(hstrand), jnp.asarray(hkeep))
-    sel, overflow = _fused_window_pregated(*args, SAT_BITS=sat_bits,
-                                           **statics)
+    sel, overflow = program(*args, SAT_BITS=sat_bits, **statics)
     if profile:
         t1 = _time.perf_counter()
 
@@ -936,7 +1053,8 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
             import sys as _sys
 
             _sys.stderr.write(
-                f"[v3] n={n} Nb={Nb} GMAX={GMAX} dispatch={t1 - t0:.3f}s "
+                f"[v3{'b' if use_2bit else ''}] n={n} Nb={Nb} GMAX={GMAX} "
+                f"dispatch={t1 - t0:.3f}s "
                 f"get={_time.perf_counter() - tf0:.3f}s "
                 f"up={seqpack.nbytes + meta_i32.nbytes + aux_u8.nbytes} "
                 f"down={np.asarray(sel_h).nbytes}\n")
@@ -945,9 +1063,11 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
             # readback for the rest of the process
             if sat_bits == 8:
                 _V3_SAT["bits"] = 16
-            out = _fused_window_pregated_wide(*args, **statics)
-            return np.ascontiguousarray(
-                np.asarray(jax.device_get(out)).T[:W_fixed])
+            out = np.asarray(jax.device_get(
+                program_wide(*args, **statics))).T  # [W, 2 or 4]
+            counters = np.zeros((wpad, 4), np.uint32)
+            counters[:, : out.shape[1]] = out
+            return counters[:W_fixed]
         counters = np.zeros((wpad, 4), np.uint32)
         counters[:, :NCH] = np.asarray(sel_h).T
         return counters[:W_fixed]

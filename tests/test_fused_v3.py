@@ -230,3 +230,82 @@ def test_native_v3_kernels_match_numpy():
     want_par = np.zeros(nf_cap, np.uint8)
     want_par[: len(src)] = (st[src] & 1).astype(np.uint8)
     np.testing.assert_array_equal(parity_p, want_par)
+
+
+def test_2bit_semantic_path_matches_semantics():
+    """The NCH=2 2-bit pipeline (native v3_pack2 semantic codes → phase
+    align → _pileup_tiles_nq2 math → channels_nch2 epilogue) must equal
+    ops.semantics.pileup_channels[:, :2] exactly. Mirrors the host prep of
+    _fused_dispatch_v3's 2-bit branch with the kernel interpreter."""
+    from methyldackel_tpu.io import native
+    from methyldackel_tpu.ops import pileup_pallas as pk
+    from methyldackel_tpu.parallel.device import _round_up
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(59)
+    W = 4608
+    ref_ascii, ref_codes = random_reference(rng, W + 64)
+    batch = simulate_batch_fast(rng, ref_codes, 150, 101)  # odd L
+    st = sem.strand(batch.flag, batch.xg).astype(np.int32)
+    minp = 7
+    n = batch.n
+    L = batch.seq.shape[1]
+    # host arbitration first (as the dispatch does)
+    qual = batch.qual.copy()
+    a = np.arange(0, n, 2)
+    sem.arbitrate_overlaps(batch.seq, qual, batch.refpos, st, a, a + 1)
+
+    Lq = (L + 3) // 4
+    L4 = 4 * Lq
+    LP = _round_up(max(L4, 128), 128)
+    LP2 = _round_up(L4 + 127, 128)
+    T = 512
+    HALO_L = LP + 128
+    wpad = _round_up(W, T)
+    ntiles = wpad // T
+    K = (T + LP) // 128
+    pos = batch.pos.astype(np.int64)
+    aligned = pos - (pos % 128)
+    order = np.argsort(aligned, kind="stable")
+    src = order.astype(np.int64)
+    al_s = aligned[order]
+    bounds = (np.arange(ntiles)[:, None] * T - LP
+              + 128 * np.arange(K + 1)[None, :])
+    flat = np.searchsorted(al_s, bounds.reshape(-1), side="left")
+    flat = flat.reshape(ntiles, K + 1)
+    srtk = flat[:, :K].astype(np.int32).reshape(-1)
+    cntk = np.diff(flat, axis=1).astype(np.int32).reshape(-1)
+    GMAX = 64
+    while GMAX < int(cntk.max()) + 32:
+        GMAX *= 2
+    Nb = 256
+    while Nb < n + GMAX:
+        Nb *= 2
+
+    nat = native.v3_pack2(batch.seq, qual, src, pos, st, Lq, Nb, 0, minp)
+    assert nat is not None
+    seqpack, pos_p, parity_p = nat
+    # unpack + numpy phase-align (prealign_reads twin of the device stages)
+    v = np.stack([(seqpack >> s) & 3 for s in (0, 2, 4, 6)],
+                 axis=-1).reshape(Nb, L4)
+    seq_a, _q, _al, _par = pk.prealign_reads(
+        v[:n], np.zeros((n, L4), np.uint8), pos_p[:n].astype(np.int64),
+        parity_p[:n].astype(np.int32))
+    assert seq_a.shape[1] == LP2
+    seq_pad = np.zeros((Nb, LP2), np.uint8)
+    seq_pad[:n] = seq_a
+    tiles = pk._pileup_tiles_nq2_interpret(srtk, cntk, seq_pad,
+                                           ntiles=ntiles, T=T, HALO_L=HALO_L,
+                                           LP=LP, LP2=LP2, K=K)
+    counts = tiles.transpose(1, 0, 2).reshape(8, wpad)
+    rbw = np.zeros(wpad, np.uint8)
+    rbw[: len(ref_ascii)] = ref_ascii[:wpad]
+    isc = np.packbits(rbw == ord("C"))
+    isg = np.packbits(rbw == ord("G"))
+    got = np.asarray(pk.channels_nch2(counts, isc, isg, wpad))
+
+    host = sem.pileup_channels(batch.seq, qual, batch.refpos, st,
+                               np.ones(batch.seq.shape, bool), ref_ascii,
+                               0, 0, wpad, minp)
+    np.testing.assert_array_equal(got.T, host[:, :2])
