@@ -649,24 +649,55 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
         n_threads = internal_workers
     if n_threads == 1 and dispatch_fn is not None and compute_lock is None \
             and pipeline_depth > 1:
-        # Single-thread async pipeline: keep `pipeline_depth` windows in
-        # flight on the device so host prep of window k+1.. overlaps device
-        # compute/transfers of window k (the -@ 1 analogue of the thread
-        # pool below; dispatches are cheap, readbacks are the sync points).
-        from collections import deque
+        # -@ 1 async pipeline: the main thread preps + dispatches windows
+        # (keeping `pipeline_depth` in flight on the device); a single
+        # ordered DRAIN thread performs the readbacks + emit + write, so
+        # the per-window readback wall time (the gRPC wait releases the
+        # GIL) overlaps host prep of later windows instead of stalling it.
+        # One consumer in FIFO order keeps output genome-ordered and the
+        # output streams single-writer.
+        import queue as _queue
 
-        pending = deque()
-        for i, (tid, lpos, lend) in win_iter:
-            state = start_window(tid, lpos, lend)
-            if state is None:
-                continue
-            pending.append((i, state))
-            while len(pending) > pipeline_depth:
-                j, s = pending.popleft()
-                drain(j, finish_window(s))
-        while pending:
-            j, s = pending.popleft()
-            drain(j, finish_window(s))
+        q: "_queue.Queue" = _queue.Queue(maxsize=pipeline_depth)
+        failure = []
+
+        def drain_loop():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                j, s = item
+                try:
+                    drain(j, finish_window(s))
+                except BaseException as exc:  # noqa: BLE001 — rethrown below
+                    failure.append(exc)
+                    return
+
+        th = threading.Thread(target=drain_loop, daemon=True)
+        th.start()
+        try:
+            for i, (tid, lpos, lend) in win_iter:
+                if failure:
+                    break
+                state = start_window(tid, lpos, lend)
+                if state is None:
+                    continue
+                while not failure:
+                    try:
+                        q.put((i, state), timeout=0.5)
+                        break
+                    except _queue.Full:
+                        continue
+        finally:
+            while th.is_alive():
+                try:
+                    q.put(None, timeout=0.5)
+                    break
+                except _queue.Full:
+                    continue
+            th.join()
+        if failure:
+            raise failure[0]
     elif n_threads == 1:
         for i, (tid, lpos, lend) in win_iter:
             drain(i, process_window(tid, lpos, lend))
