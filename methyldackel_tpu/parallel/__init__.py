@@ -45,6 +45,17 @@ def _force_platform():
             pass
 
 
+def _apply_device_chunk(cfg):
+    """MDTPU_DEVICE_CHUNK: device-engine window size override (bytes of
+    genome per window). Bigger windows amortize per-window RPC latency,
+    readback round trips and finalize overheads over the tunnel; output is
+    chunk-size invariant (adjustBounds; tests). Only applied when the user
+    left --chunkSize at its default."""
+    ov = os.environ.get("MDTPU_DEVICE_CHUNK")
+    if ov and int(getattr(cfg, "chunkSize", 0)) == 1_000_000:
+        cfg.chunkSize = max(1, int(ov))
+
+
 def select_backend(cfg):
     mode = os.environ.get("MDTPU_ENGINE", "auto")
     if mode == "host":
@@ -65,6 +76,7 @@ def select_backend(cfg):
         return None
     if mode == "jax":
         enable_persistent_cache()
+        _apply_device_chunk(cfg)
         return make_device_backend(cfg)
     # auto: only use the device path when an accelerator is present
     try:
@@ -75,6 +87,7 @@ def select_backend(cfg):
         return None
     if platform in ("tpu", "axon"):
         enable_persistent_cache()
+        _apply_device_chunk(cfg)
         return make_device_backend(cfg)
     return None
 
