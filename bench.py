@@ -345,7 +345,7 @@ def main():
     # over a whole genome).
     if os.environ.get("MDTPU_BENCH_CLI", "1") != "0":
         cli_pairs = int(os.environ.get("MDTPU_BENCH_CLI_PAIRS", 500_000))
-        reps = int(os.environ.get("MDTPU_BENCH_CLI_REPS", 3))
+        reps = int(os.environ.get("MDTPU_BENCH_CLI_REPS", 5))
         _d, fa, bam = make_cli_input(cli_pairs, L, 1 << 23)
         dev_engine = os.environ.get("MDTPU_BENCH_CLI_ENGINE", "jax")
         run_cli(fa, bam, dev_engine)  # warm: compiles/executable loads

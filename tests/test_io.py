@@ -289,3 +289,52 @@ def test_native_format_parity_float_methylkit():
                 val = p
             got = native.format_float_rows(chrom, pos, pos + 1, val)
         assert got == want, f"{mode}:\n{got!r}\n{want!r}"
+
+
+# ----------------------------------------------------- malformed-input BAM
+
+def test_truncated_bam_raises_cleanly(tmp_path):
+    """Truncations at every structural layer (mid BGZF block, mid record,
+    mid header) must raise a clean exception — never return silently
+    truncated records (htslib's corresponding failure is a hard error)."""
+    import pytest
+    from methyldackel_tpu.io.bam import BamFile
+    from util_bam import write_bam
+
+    recs = [dict(qname=f"r{i}", flag=0, tid=0, pos=i * 5,
+                 seq="ACGTACGTAC", cigar="10M", mtid=-1, mpos=-1)
+            for i in range(50)]
+    path = tmp_path / "t.bam"
+    write_bam(path, [("chrT", 400)], recs)
+    data = path.read_bytes()
+    full = BamFile(str(path)).n_reads
+    assert full == 50
+    for frac in (0.3, 0.7, 0.95):
+        cut = tmp_path / f"cut{frac}.bam"
+        cut.write_bytes(data[: int(len(data) * frac)])
+        with pytest.raises(Exception):
+            BamFile(str(cut))
+
+
+def test_corrupt_bgzf_crc_raises(tmp_path):
+    """A flipped byte inside a BGZF block payload must surface as an
+    error from the inflater (both the native and pure-Python paths),
+    not as silently wrong records."""
+    import pytest
+    import zlib
+    from methyldackel_tpu.io.bam import BamFile
+    from util_bam import write_bam
+
+    recs = [dict(qname=f"r{i}", flag=0, tid=0, pos=i * 3,
+                 seq="ACGTACGTAC", cigar="10M", mtid=-1, mpos=-1)
+            for i in range(200)]
+    path = tmp_path / "c.bam"
+    write_bam(path, [("chrT", 800)], recs)
+    data = bytearray(path.read_bytes())
+    # flip a byte inside the deflate payload of the first block (skip the
+    # 18-byte header so the BSIZE field stays parseable)
+    data[40] ^= 0xFF
+    bad = tmp_path / "bad.bam"
+    bad.write_bytes(bytes(data))
+    with pytest.raises(Exception):
+        BamFile(str(bad))
