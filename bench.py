@@ -208,15 +208,31 @@ def bench_e2e_fused(batch, ref_ascii, W, iters, batches=None):
 
     for i in range(len(pool)):  # compile + warm every shape bucket once
         dispatch(i).get()
+    # Same structure as run_extract at -@ 1: the main thread preps +
+    # dispatches windows; ONE ordered drain thread performs the readbacks,
+    # so each window's readback wall overlaps host prep of later windows.
+    import queue as _queue
+    import threading as _threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    done = []
+
+    def drain_loop():
+        while True:
+            h = q.get()
+            if h is None:
+                return
+            done.append(h.get())
+
     t0 = time.perf_counter()
-    pending = deque()
+    th = _threading.Thread(target=drain_loop)
+    th.start()
     for i in range(iters):
-        pending.append(dispatch(i))
-        if len(pending) > depth:
-            pending.popleft().get()
-    while pending:
-        out = pending.popleft().get()
+        q.put(dispatch(i))
+    q.put(None)
+    th.join()
     dt = (time.perf_counter() - t0) / iters
+    assert len(done) == iters
 
     out = dispatch(0).get()  # exactness check against the first batch
     hq = batch.qual.copy()
