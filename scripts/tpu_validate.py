@@ -83,7 +83,9 @@ SUBCOMMAND_SCENARIOS = [
 
 def gen_synthetic(d):
     """Synthetic suites: indels + heavy overlap (tests/test_synthetic_e2e
-    style) via tests/util_bam + utils/simulate."""
+    style) via tests/util_bam + utils/simulate; plus BED-region scenarios
+    (incl. --keepStrand, whose per-base strand masks route the device
+    engine through the XLA dense fallback — otherwise hardware-uncovered)."""
     sys.path.insert(0, REPO)
     from methyldackel_tpu.utils.simulate import write_synthetic_input
     from methyldackel_tpu.io.bam import BamFile
@@ -91,8 +93,20 @@ def gen_synthetic(d):
 
     fa, bam = write_synthetic_input(d, 20_000, 100, 1 << 20, seed=11)
     build_bai(BamFile(bam), bam + ".bai")
-    return [("synthetic40k", [os.path.basename(fa), os.path.basename(bam),
-                              "-o", "vs1"], ["vs1_CpG.bedGraph"])]
+    with open(os.path.join(d, "regions.bed"), "w") as fh:
+        fh.write("chrSim\t1000\t200000\t.\t0\t+\n")
+        fh.write("chrSim\t300000\t500000\t.\t0\t-\n")
+        fh.write("chrSim\t600000\t900000\t.\t0\t+\n")
+    return [
+        ("synthetic40k", [os.path.basename(fa), os.path.basename(bam),
+                          "-o", "vs1"], ["vs1_CpG.bedGraph"]),
+        ("bed_regions", ["-l", "regions.bed", os.path.basename(fa),
+                         os.path.basename(bam), "-o", "vs2"],
+         ["vs2_CpG.bedGraph"]),
+        ("bed_keepStrand", ["-l", "regions.bed", "--keepStrand",
+                            os.path.basename(fa), os.path.basename(bam),
+                            "-o", "vs3"], ["vs3_CpG.bedGraph"]),
+    ]
 
 
 RETRIED = []  # (scenario, engine) that only passed on a retry
