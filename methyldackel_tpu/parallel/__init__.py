@@ -94,33 +94,23 @@ def select_backend(cfg):
 
 def _select_device_fn(cfg, make_fn_name):
     """Shared engine-selection policy for the per-subcommand device
-    backends: MDTPU_ENGINE=jax|mesh force the device path, host disables,
-    auto enables on an attached TPU."""
+    backends: MDTPU_ENGINE=jax|mesh force the device path, anything else
+    (host OR auto) stays on the exact host engine. Unlike extract — whose
+    v3 path ships pre-gated 2-bit codes — the mbias/perRead device
+    backends upload full seq+qual+refpos per window, and measured 4-10x
+    SLOWER than the native host kernels through the tunnel
+    (artifacts/perf_breakdown_r03.md), so `auto` must not pick them; they
+    remain available explicitly (and validated byte-identical on
+    hardware, artifacts/tpu_validate_r03.log)."""
     mode = os.environ.get("MDTPU_ENGINE", "auto")
-    if mode == "host":
+    if mode not in ("jax", "mesh"):
         return None
     _force_platform()  # before any jax-importing module loads
-    try:
-        from . import device as _dev
+    from . import device as _dev
 
-        make_fn = getattr(_dev, make_fn_name)
-    except Exception:
-        if mode in ("jax", "mesh"):
-            raise
-        return None
-    if mode in ("jax", "mesh"):
-        enable_persistent_cache()
-        return make_fn(cfg)
-    try:
-        import jax
-
-        platform = jax.devices()[0].platform
-    except Exception:
-        return None
-    if platform in ("tpu", "axon"):
-        enable_persistent_cache()
-        return make_fn(cfg)
-    return None
+    make_fn = getattr(_dev, make_fn_name)
+    enable_persistent_cache()
+    return make_fn(cfg)
 
 
 def select_mbias_backend(cfg):
