@@ -309,3 +309,23 @@ def test_2bit_semantic_path_matches_semantics():
                                np.ones(batch.seq.shape, bool), ref_ascii,
                                0, 0, wpad, minp)
     np.testing.assert_array_equal(got.T, host[:, :2])
+
+
+def test_v2_escape_hatch_still_exact(monkeypatch):
+    """MDTPU_FUSED=v2 (the pre-v3 device-arbitration program) remains a
+    working escape hatch: interpret-mode parity vs the host engine."""
+    monkeypatch.setenv("MDTPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MDTPU_FUSED", "v2")
+    rng = np.random.default_rng(61)
+    ref_ascii, ref_codes = random_reference(rng, 5000)
+    batch = simulate_batch_fast(rng, ref_codes, 60, 100)
+    st = sem.strand(batch.flag, batch.xg)
+    keep = np.ones(batch.n, bool)
+    W = 4608
+    cfg = Config()
+    cfg.chunkSize = W
+    host = compute_window_counters_host(cfg, copy.deepcopy(batch), st, keep,
+                                        ref_ascii, 0, 0, W)
+    got = make_device_backend(cfg)(cfg, copy.deepcopy(batch), st, keep,
+                                   ref_ascii, 0, 0, W)
+    np.testing.assert_array_equal(host, got)
