@@ -36,6 +36,15 @@ def init_distributed(coordinator: str | None = None, num_processes: int | None =
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator is None:
         return 0, 1
+    # Pin the platform BEFORE the first jax backend initializes: with
+    # MDTPU_ENGINE=host nothing else forces it, and on this machine the
+    # axon plugin ignores JAX_PLATFORMS — an axon-backed multi-process job
+    # here gave every process process_index()==0, making ALL hosts run the
+    # host-0 shard merge concurrently (observed as vanishing-shard
+    # FileNotFoundError races).
+    from . import _force_platform
+
+    _force_platform()
     num_processes = int(num_processes or os.environ.get("JAX_NUM_PROCESSES", 1))
     process_id = int(process_id if process_id is not None
                      else os.environ.get("JAX_PROCESS_ID", 0))
@@ -97,12 +106,22 @@ def merge_shards(out_path: str) -> int:
         if m:
             shards.append((int(m.group(2)), p))
     shards.sort()
+    n = 0
     with open(out_path, "a") as out:
         for _, p in shards:
-            with open(p) as fh:
+            # Claim via atomic rename: if a misconfigured job ever runs two
+            # mergers concurrently, each shard is still consumed exactly
+            # once instead of racing glob→open→unlink.
+            claimed = p + ".merging"
+            try:
+                os.rename(p, claimed)
+            except FileNotFoundError:
+                continue
+            with open(claimed) as fh:
                 out.write(fh.read())
-            os.unlink(p)
-    return len(shards)
+            os.unlink(claimed)
+            n += 1
+    return n
 
 
 def barrier_and_merge(out_paths) -> None:
