@@ -695,10 +695,13 @@ def _fused_window_pregated(seqpack, meta_i32, aux_u8, woff_rel, hseq, hqual,
     from ..ops import pileup_pallas as pk
 
     G = ntiles * K
-    pos_p = meta_i32[:Nb]
-    srtk = meta_i32[Nb : Nb + G]
-    cntk = meta_i32[Nb + G : Nb + 2 * G]
-    parity = aux_u8[:Nb]
+    srtk = meta_i32[:G]
+    cntk = meta_i32[G : 2 * G]
+    # per-row byte: phase shift (pos % 128) in bits 0-6, strand parity in
+    # bit 7 — the programs never need the full position (group tables carry
+    # the aligned offsets), so the old int32 pos upload was 4x these bytes
+    shp = aux_u8[:Nb]
+    parity = shp >> 7
     ref_p = aux_u8[Nb : Nb + ref_static]
 
     # nibble unpack: packed[:, j] = code[2j] | code[2j+1] << 4
@@ -708,7 +711,7 @@ def _fused_window_pregated(seqpack, meta_i32, aux_u8, woff_rel, hseq, hqual,
 
     # phase alignment (seq-only barrel shifter; see _phase_align_device)
     x = jnp.pad(seq, ((0, 0), (0, LP2 - L2)))
-    sh = pos_p.astype(jnp.int32) % 128
+    sh = (shp & 127).astype(jnp.int32)
     for k in range(7):
         bit = ((sh >> k) & 1)[:, None] == 1
         s = 1 << k
@@ -744,16 +747,19 @@ def _fused_window_pregated_wide(seqpack, meta_i32, aux_u8, woff_rel, hseq,
     from ..ops import pileup_pallas as pk
 
     G = ntiles * K
-    pos_p = meta_i32[:Nb]
-    srtk = meta_i32[Nb : Nb + G]
-    cntk = meta_i32[Nb + G : Nb + 2 * G]
-    parity = aux_u8[:Nb]
+    srtk = meta_i32[:G]
+    cntk = meta_i32[G : 2 * G]
+    # per-row byte: phase shift (pos % 128) in bits 0-6, strand parity in
+    # bit 7 — the programs never need the full position (group tables carry
+    # the aligned offsets), so the old int32 pos upload was 4x these bytes
+    shp = aux_u8[:Nb]
+    parity = shp >> 7
     ref_p = aux_u8[Nb : Nb + ref_static]
     lo = seqpack & 15
     hi = seqpack >> 4
     seq = jnp.stack([lo, hi], axis=-1).reshape(Nb, L2)
     x = jnp.pad(seq, ((0, 0), (0, LP2 - L2)))
-    sh = pos_p.astype(jnp.int32) % 128
+    sh = (shp & 127).astype(jnp.int32)
     for k in range(7):
         bit = ((sh >> k) & 1)[:, None] == 1
         s = 1 << k
@@ -787,10 +793,13 @@ def _v32_core(seqpack, meta_i32, aux_u8, woff_rel, hseq, hqual, hrefpos,
     from ..ops import pileup_pallas as pk
 
     G = ntiles * K
-    pos_p = meta_i32[:Nb]
-    srtk = meta_i32[Nb : Nb + G]
-    cntk = meta_i32[Nb + G : Nb + 2 * G]
-    parity = aux_u8[:Nb]
+    srtk = meta_i32[:G]
+    cntk = meta_i32[G : 2 * G]
+    # per-row byte: phase shift (pos % 128) in bits 0-6, strand parity in
+    # bit 7 — the programs never need the full position (group tables carry
+    # the aligned offsets), so the old int32 pos upload was 4x these bytes
+    shp = aux_u8[:Nb]
+    parity = shp >> 7
     isc = aux_u8[Nb : Nb + nbits]
     isg = aux_u8[Nb + nbits : Nb + 2 * nbits]
 
@@ -798,7 +807,7 @@ def _v32_core(seqpack, meta_i32, aux_u8, woff_rel, hseq, hqual, hrefpos,
     seq = jnp.stack([(seqpack >> s) & 3 for s in (0, 2, 4, 6)],
                     axis=-1).reshape(Nb, L4)
     x = jnp.pad(seq, ((0, 0), (0, LP2 - L4)))
-    sh = pos_p.astype(jnp.int32) % 128
+    sh = (shp & 127).astype(jnp.int32)
     for k in range(7):
         bit = ((sh >> k) & 1)[:, None] == 1
         s = 1 << k
@@ -940,7 +949,10 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
             pos_p[:n] = f_pos[order]
             parity_p = np.zeros(Nb, np.uint8)
             parity_p[:n] = (st[src] & 1).astype(np.uint8)
-    meta_i32 = np.concatenate([pos_p, srtk, cntk])
+    # fold (pos % 128, parity) into one byte per row (see the programs)
+    shp = ((pos_p % 128).astype(np.uint8)
+           | (parity_p << 7)).astype(np.uint8)
+    meta_i32 = np.concatenate([srtk, cntk])
 
     assert -512 <= woff_rel <= 512, woff_rel
     ref_static = wpad + 256
@@ -1017,7 +1029,7 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
         rbw = np.where(inr, ref_p[np.clip(idx, 0, ref_static - 1)], 0)
         # the window/ref frame shift is applied HERE, so the device needs
         # no ref bytes at all unless hard rows ride along
-        parts = [parity_p, np.packbits(rbw == REF_C),
+        parts = [shp, np.packbits(rbw == REF_C),
                  np.packbits(rbw == REF_G)]
         rs2 = 0
         if HAS_HARD:
@@ -1031,7 +1043,7 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
         program, program_wide = _fused_window_pregated2, \
             _fused_window_pregated2_wide
     else:
-        aux_u8 = np.concatenate([parity_p, ref_p])
+        aux_u8 = np.concatenate([shp, ref_p])
         statics = dict(Nb=Nb, Lh=Lh, LP2=LP2, L2=L2, ntiles=ntiles, T=T,
                        HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, W=wpad,
                        ref_static=ref_static, NCH=NCH, HAS_HARD=HAS_HARD,
