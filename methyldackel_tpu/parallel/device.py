@@ -675,7 +675,7 @@ _V3_STATICS = ("Nb", "Lh", "LP2", "L2", "ntiles", "T", "HALO_L", "LP", "K",
 
 
 @functools.partial(jax.jit, static_argnames=_V3_STATICS)
-def _fused_window_pregated(seqpack, meta_i32, aux_u8, woff_rel, hseq, hqual,
+def _fused_window_pregated(blob_u8, meta_i32, woff_rel, hseq, hqual,
                            hrefpos, hstrand, hkeep, *, Nb, Lh, LP2, L2,
                            ntiles, T, HALO_L, LP, K, GMAX, W, ref_static,
                            NCH, HAS_HARD, min_phred, SAT_BITS):
@@ -697,9 +697,12 @@ def _fused_window_pregated(seqpack, meta_i32, aux_u8, woff_rel, hseq, hqual,
     G = ntiles * K
     srtk = meta_i32[:G]
     cntk = meta_i32[G : 2 * G]
-    # per-row byte: phase shift (pos % 128) in bits 0-6, strand parity in
-    # bit 7 — the programs never need the full position (group tables carry
-    # the aligned offsets), so the old int32 pos upload was 4x these bytes
+    # ONE u8 blob per window: nibble-packed codes, then the per-row shp
+    # byte (phase shift in bits 0-6, strand parity in bit 7 — the programs
+    # never need the full position; group tables carry aligned offsets),
+    # then the reference bytes. One transfer instead of three.
+    seqpack = blob_u8[: Nb * Lh].reshape(Nb, Lh)
+    aux_u8 = blob_u8[Nb * Lh :]
     shp = aux_u8[:Nb]
     parity = shp >> 7
     ref_p = aux_u8[Nb : Nb + ref_static]
@@ -739,7 +742,7 @@ def _fused_window_pregated(seqpack, meta_i32, aux_u8, woff_rel, hseq, hqual,
 
 
 @functools.partial(jax.jit, static_argnames=_V3_STATICS[:-2] + ("min_phred",))
-def _fused_window_pregated_wide(seqpack, meta_i32, aux_u8, woff_rel, hseq,
+def _fused_window_pregated_wide(blob_u8, meta_i32, woff_rel, hseq,
                                 hqual, hrefpos, hstrand, hkeep, *, Nb, Lh,
                                 LP2, L2, ntiles, T, HALO_L, LP, K, GMAX, W,
                                 ref_static, NCH, HAS_HARD, min_phred):
@@ -749,9 +752,8 @@ def _fused_window_pregated_wide(seqpack, meta_i32, aux_u8, woff_rel, hseq,
     G = ntiles * K
     srtk = meta_i32[:G]
     cntk = meta_i32[G : 2 * G]
-    # per-row byte: phase shift (pos % 128) in bits 0-6, strand parity in
-    # bit 7 — the programs never need the full position (group tables carry
-    # the aligned offsets), so the old int32 pos upload was 4x these bytes
+    seqpack = blob_u8[: Nb * Lh].reshape(Nb, Lh)
+    aux_u8 = blob_u8[Nb * Lh :]
     shp = aux_u8[:Nb]
     parity = shp >> 7
     ref_p = aux_u8[Nb : Nb + ref_static]
@@ -783,7 +785,7 @@ _V32_STATICS = ("Nb", "Lq", "LP2", "L4", "ntiles", "T", "HALO_L", "LP", "K",
                 "SAT_BITS")
 
 
-def _v32_core(seqpack, meta_i32, aux_u8, woff_rel, hseq, hqual, hrefpos,
+def _v32_core(blob_u8, meta_i32, woff_rel, hseq, hqual, hrefpos,
               hstrand, hkeep, *, Nb, Lq, LP2, L4, ntiles, T, HALO_L, LP, K,
               GMAX, W, nbits, ref_static, HAS_HARD, min_phred):
     """Shared trace of the 2-bit semantic window program: unpack 4
@@ -795,9 +797,8 @@ def _v32_core(seqpack, meta_i32, aux_u8, woff_rel, hseq, hqual, hrefpos,
     G = ntiles * K
     srtk = meta_i32[:G]
     cntk = meta_i32[G : 2 * G]
-    # per-row byte: phase shift (pos % 128) in bits 0-6, strand parity in
-    # bit 7 — the programs never need the full position (group tables carry
-    # the aligned offsets), so the old int32 pos upload was 4x these bytes
+    seqpack = blob_u8[: Nb * Lq].reshape(Nb, Lq)
+    aux_u8 = blob_u8[Nb * Lq :]
     shp = aux_u8[:Nb]
     parity = shp >> 7
     isc = aux_u8[Nb : Nb + nbits]
@@ -1050,7 +1051,8 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
                        min_phred=cfg.minPhred)
         program, program_wide = _fused_window_pregated, \
             _fused_window_pregated_wide
-    args = (jnp.asarray(seqpack), jnp.asarray(meta_i32), jnp.asarray(aux_u8),
+    blob_u8 = np.concatenate([seqpack.reshape(-1), aux_u8])
+    args = (jnp.asarray(blob_u8), jnp.asarray(meta_i32),
             jnp.int32(woff_rel), jnp.asarray(hseq), jnp.asarray(hqual),
             jnp.asarray(hrefpos), jnp.asarray(hstrand), jnp.asarray(hkeep))
     sel, overflow = program(*args, SAT_BITS=sat_bits, **statics)
@@ -1068,7 +1070,7 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
                 f"[v3{'b' if use_2bit else ''}] n={n} Nb={Nb} GMAX={GMAX} "
                 f"dispatch={t1 - t0:.3f}s "
                 f"get={_time.perf_counter() - tf0:.3f}s "
-                f"up={seqpack.nbytes + meta_i32.nbytes + aux_u8.nbytes} "
+                f"up={blob_u8.nbytes + meta_i32.nbytes} "
                 f"down={np.asarray(sel_h).nbytes}\n")
         if bool(ovf_h):
             # saturation hit: refetch this window wide, and widen the
@@ -1080,9 +1082,12 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
             counters = np.zeros((wpad, 4), np.uint32)
             counters[:, : out.shape[1]] = out
             return counters[:W_fixed]
-        counters = np.zeros((wpad, 4), np.uint32)
-        counters[:, :NCH] = np.asarray(sel_h).T
-        return counters[:W_fixed]
+        # channel-major storage: the cast writes NCH contiguous rows and
+        # emit's column reads become contiguous too; the [W, 4] view is
+        # transpose-strided (no copy)
+        cmaj = np.zeros((4, wpad), np.uint32)
+        cmaj[:NCH] = np.asarray(sel_h)
+        return cmaj.T[:W_fixed]
 
     return finalize
 
@@ -1229,7 +1234,7 @@ def dispatch_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
                                  interpret=interpret)
         if fin is None:
             return None  # coverage skew: caller falls back to XLA dense
-        return WindowHandle(fn=lambda: np.ascontiguousarray(fin()[:W]))
+        return WindowHandle(fn=lambda: fin()[:W])
 
     if not interpret:
         fin = _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag,
@@ -1238,7 +1243,7 @@ def dispatch_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
                               win_offset - win_start, W_fixed)
         if fin is None:
             return None  # coverage skew: caller falls back
-        return WindowHandle(fn=lambda: np.ascontiguousarray(fin()[:W]))
+        return WindowHandle(fn=lambda: fin()[:W])
 
     # --- exact XLA path for the complicated rows
     if xla_rows.any():
