@@ -850,6 +850,10 @@ def _fused_window_pregated2_wide(*args, **statics):
 # datasets don't pay a wide refetch per window.
 _V3_SAT = {"bits": 8}
 
+# Singleton device-resident dummy hard-row arrays, keyed by read length
+# (see _fused_dispatch_v3's no-hard branch).
+_HARD_DUMMIES: dict = {}
+
 
 def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
                        xla_rows, ref_window, win_start, woff_rel, W_fixed,
@@ -981,11 +985,23 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
         hstrand[:nh] = st[hrows]
         hkeep[:nh] = True
     else:
-        hseq = np.zeros((1, L), np.uint8)
-        hqual = np.zeros((1, L), np.uint8)
-        hrefpos = np.full((1, L), -2, np.int32)
-        hstrand = np.ones(1, np.int32)
-        hkeep = np.zeros(1, bool)
+        # no hard rows: SINGLETON device dummies per read length — passing
+        # the same jax arrays every window means zero per-window marshaling
+        # for these five arguments (fresh numpy zeros would re-enter the
+        # transfer path each time)
+        hd = None if interpret else _HARD_DUMMIES.get(L)
+        if hd is None:
+            hseq = np.zeros((1, L), np.uint8)
+            hqual = np.zeros((1, L), np.uint8)
+            hrefpos = np.full((1, L), -2, np.int32)
+            hstrand = np.ones(1, np.int32)
+            hkeep = np.zeros(1, bool)
+            if not interpret:
+                hd = tuple(jnp.asarray(a) for a in
+                           (hseq, hqual, hrefpos, hstrand, hkeep))
+                _HARD_DUMMIES[L] = hd
+        if hd is not None:
+            hseq, hqual, hrefpos, hstrand, hkeep = hd
 
     if interpret:
         # CPU twin of the full program (exercised by the CPU test suite):
