@@ -705,16 +705,27 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
         from concurrent.futures import ThreadPoolExecutor
         from collections import deque
 
+        # Device backends under -@ N: workers do host prep + dispatch only;
+        # the main thread performs the ordered readback + emit (the -@ N
+        # generalization of the -@ 1 drain pipeline — workers blocking in
+        # device_get wasted their prep slots). Host backends keep compute
+        # in the workers (that IS their parallel work).
+        if dispatch_fn is not None and compute_lock is None:
+            work, complete = start_window, (
+                lambda st: None if st is None else finish_window(st))
+        else:
+            work, complete = process_window, (lambda res: res)
+
         with ThreadPoolExecutor(max_workers=n_threads) as pool:
             inflight = deque()
             for i, w in win_iter:
                 while len(inflight) >= 2 * n_threads:
                     j, fut = inflight.popleft()
-                    drain(j, fut.result())
-                inflight.append((i, pool.submit(process_window, *w)))
+                    drain(j, complete(fut.result()))
+                inflight.append((i, pool.submit(work, *w)))
             while inflight:
                 j, fut = inflight.popleft()
-                drain(j, fut.result())
+                drain(j, complete(fut.result()))
     if n_hosts > 1:
         for s in out_streams:
             if s is not None:
