@@ -1432,12 +1432,17 @@ class StreamingCramFile:
 
     def __init__(self, path: str, fasta=None, cache_containers: int = 4):
         import os
+        import threading
 
         self.path = path
         if isinstance(fasta, str):
             fasta = FastaFile(fasta)
         self._fasta = fasta
         self._fh = open(path, "rb")
+        # extract's -@ N pool calls window_soa concurrently: reads go
+        # through os.pread (offset-explicit, no shared seek cursor) and the
+        # container cache/LRU is guarded by this lock.
+        self._cache_lock = threading.Lock()
         head = self._read_at(0, 26)
         if head[:4] != CRAM_MAGIC:
             raise ValueError(f"{path} is not a CRAM file")
@@ -1471,8 +1476,11 @@ class StreamingCramFile:
         self._cache_max = cache_containers
 
     def _read_at(self, off: int, size: int) -> bytes:
-        self._fh.seek(off)
-        return self._fh.read(size)
+        import os
+
+        # pread: atomic (offset, size) read — safe under concurrent
+        # window_soa calls from the -@ N worker pool (no seek+read race).
+        return os.pread(self._fh.fileno(), size, off)
 
     def _scan_containers(self):
         rows = []
@@ -1495,14 +1503,31 @@ class StreamingCramFile:
 
     @property
     def n_reads(self) -> int:
-        return 0  # unknown without a full pass; used only for stats
+        """Total records, summed from the container headers (one small
+        pread per container, computed once). Keeps the reads_decoded stat
+        (engine/extract.py) truthful on the streaming CRAM path."""
+        cached = getattr(self, "_n_reads", None)
+        if cached is None:
+            total = 0
+            # .crai rows are per-slice: dedupe to container offsets
+            for c_off in dict.fromkeys(r[3] for r in self._index):
+                hdr = self._read_at(c_off, 4096)
+                try:
+                    _l, _r, _s, _sp2, n_records, _he = \
+                        _parse_container_header(hdr, 0)
+                except (ValueError, IndexError):
+                    continue
+                total += n_records
+            cached = self._n_reads = total
+        return cached
 
     def _container_records(self, off: int) -> list:
-        recs = self._cache.get(off)
-        if recs is not None:
-            self._cache_order.remove(off)
-            self._cache_order.append(off)
-            return recs
+        with self._cache_lock:
+            recs = self._cache.get(off)
+            if recs is not None:
+                self._cache_order.remove(off)
+                self._cache_order.append(off)
+                return recs
         hdr = self._read_at(off, 1 << 16)
         length, _r, _s, _sp, _n, hdr_end = _parse_container_header(hdr, 0)
         total = hdr_end + length
@@ -1514,10 +1539,11 @@ class StreamingCramFile:
         shell._records = []
         shell._read_container(buf, 0, False)
         recs = shell._records
-        self._cache[off] = recs
-        self._cache_order.append(off)
-        while len(self._cache_order) > self._cache_max:
-            self._cache.pop(self._cache_order.pop(0), None)
+        with self._cache_lock:
+            self._cache[off] = recs
+            self._cache_order.append(off)
+            while len(self._cache_order) > self._cache_max:
+                self._cache.pop(self._cache_order.pop(0), None)
         return recs
 
     def window_soa(self, tid: int, start: int, end: int):

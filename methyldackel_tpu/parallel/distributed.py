@@ -107,20 +107,34 @@ def merge_shards(out_path: str) -> int:
             shards.append((int(m.group(2)), p))
     shards.sort()
     n = 0
-    with open(out_path, "a") as out:
-        for _, p in shards:
-            # Claim via atomic rename: if a misconfigured job ever runs two
-            # mergers concurrently, each shard is still consumed exactly
-            # once instead of racing glob→open→unlink.
-            claimed = p + ".merging"
-            try:
-                os.rename(p, claimed)
-            except FileNotFoundError:
-                continue
-            with open(claimed) as fh:
-                out.write(fh.read())
-            os.unlink(claimed)
-            n += 1
+    # Exclusive merger lock (O_EXCL lockfile): a second concurrent merger
+    # bails out instead of interleaving appends into out_path. (The rename
+    # claim below only guarantees each shard is consumed once; it cannot
+    # order two writers' appends. In a correctly configured job only host 0
+    # merges — the _force_platform pin in init_distributed is what prevents
+    # the double-merge — so this lock is a belt-and-braces guard.)
+    lock_path = out_path + ".merge.lock"
+    try:
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return 0
+    try:
+        with open(out_path, "a") as out:
+            for _, p in shards:
+                # Claim via atomic rename: each shard is consumed exactly
+                # once instead of racing glob→open→unlink.
+                claimed = p + ".merging"
+                try:
+                    os.rename(p, claimed)
+                except FileNotFoundError:
+                    continue
+                with open(claimed) as fh:
+                    out.write(fh.read())
+                os.unlink(claimed)
+                n += 1
+    finally:
+        os.close(lock_fd)
+        os.unlink(lock_path)
     return n
 
 
