@@ -32,9 +32,10 @@ const uint8_t* boost_table() {
 // Matches the gapless predicate in ops/semantics.arbitrate_overlaps:
 // start >= 0, valid positions form an exact prefix, and refpos == start+col
 // on that prefix. Returns nvalid, or -1 if not gapless.
-int64_t gapless_nvalid(const int32_t* rp, int64_t l) {
+template <typename RP>
+int64_t gapless_nvalid(const RP* rp, int64_t l) {
   if (l == 0) return 0;
-  const int32_t start = rp[0];
+  const RP start = rp[0];
   if (start < 0) return -1;
   int64_t j = 0;
   while (j < l && rp[j] >= 0) {
@@ -47,6 +48,12 @@ int64_t gapless_nvalid(const int32_t* rp, int64_t l) {
   return nvalid;
 }
 
+template <typename RP>
+int64_t arbitrate_impl(const uint8_t* seq, uint8_t* qual, const RP* refpos,
+                       const int32_t* strand, int64_t n, int64_t l,
+                       const int64_t* a_idx, const int64_t* b_idx, int64_t p,
+                       int64_t* fallback);
+
 }  // namespace
 
 extern "C" {
@@ -57,6 +64,30 @@ int64_t mdtpu_arbitrate(const uint8_t* seq, uint8_t* qual,
                         const int32_t* refpos, const int32_t* strand,
                         int64_t n, int64_t l, const int64_t* a_idx,
                         const int64_t* b_idx, int64_t p, int64_t* fallback) {
+  return arbitrate_impl(seq, qual, refpos, strand, n, l, a_idx, b_idx, p,
+                        fallback);
+}
+
+// int64-refpos twin: lets callers pass the decoder's refpos without the
+// ~70 MB/window astype(int32).
+int64_t mdtpu_arbitrate64(const uint8_t* seq, uint8_t* qual,
+                          const int64_t* refpos, const int32_t* strand,
+                          int64_t n, int64_t l, const int64_t* a_idx,
+                          const int64_t* b_idx, int64_t p,
+                          int64_t* fallback) {
+  return arbitrate_impl(seq, qual, refpos, strand, n, l, a_idx, b_idx, p,
+                        fallback);
+}
+
+}  // extern "C"
+
+namespace {
+
+template <typename RP>
+int64_t arbitrate_impl(const uint8_t* seq, uint8_t* qual, const RP* refpos,
+                       const int32_t* strand, int64_t n, int64_t l,
+                       const int64_t* a_idx, const int64_t* b_idx, int64_t p,
+                       int64_t* fallback) {
   if (l < 0 || n < 0 || p < 0) return -1;
   const uint8_t* boost = boost_table();
   std::vector<uint8_t> qa_orig(l), qb_orig(l);
@@ -65,8 +96,8 @@ int64_t mdtpu_arbitrate(const uint8_t* seq, uint8_t* qual,
     const int64_t a = a_idx[i], b = b_idx[i];
     if (a < 0 || a >= n || b < 0 || b >= n) return -1;
     if (((strand[a] - strand[b]) & 1) != 0) continue;
-    const int32_t* rp_a = refpos + a * l;
-    const int32_t* rp_b = refpos + b * l;
+    const RP* rp_a = refpos + a * l;
+    const RP* rp_b = refpos + b * l;
     const int64_t nv_a = gapless_nvalid(rp_a, l);
     const int64_t nv_b = gapless_nvalid(rp_b, l);
     if (nv_a < 0 || nv_b < 0) {
@@ -110,4 +141,4 @@ int64_t mdtpu_arbitrate(const uint8_t* seq, uint8_t* qual,
   return nfb;
 }
 
-}  // extern "C"
+}  // namespace

@@ -15,10 +15,11 @@
 
 namespace {
 
+template <typename RP>
 struct Args {
   const uint8_t* seq;
   const uint8_t* qual;
-  const int32_t* refpos;
+  const RP* refpos;
   const int32_t* strand;
   const uint8_t* keep_base;  // nullable [n, l]
   int64_t n, l;
@@ -30,12 +31,13 @@ struct Args {
 
 // Returns 0 on success, nonzero if a valid base indexes outside ref_window
 // (caller falls back to the numpy path, which raises).
-int pileup_rows(const Args& a, int64_t row_begin, int64_t row_end,
+template <typename RP>
+int pileup_rows(const Args<RP>& a, int64_t row_begin, int64_t row_end,
                 uint32_t* counters) {
   for (int64_t i = row_begin; i < row_end; ++i) {
     const uint8_t* seq = a.seq + i * a.l;
     const uint8_t* qual = a.qual + i * a.l;
-    const int32_t* rp = a.refpos + i * a.l;
+    const RP* rp = a.refpos + i * a.l;
     const uint8_t* kb = a.keep_base ? a.keep_base + i * a.l : nullptr;
     const bool odd = (a.strand[i] & 1) != 0;
     // Reference bases are ASCII; read bases are BAM 4-bit codes
@@ -68,21 +70,16 @@ int pileup_rows(const Args& a, int64_t row_begin, int64_t row_end,
   return 0;
 }
 
-}  // namespace
-
-extern "C" {
-
-// counters: caller-zeroed uint32 [win_end - win_start, 4]. Returns 0 on
-// success; nonzero = unsupported input (caller falls back to numpy).
-int mdtpu_pileup(const uint8_t* seq, const uint8_t* qual,
-                 const int32_t* refpos, const int32_t* strand,
+template <typename RP>
+int pileup_entry(const uint8_t* seq, const uint8_t* qual,
+                 const RP* refpos, const int32_t* strand,
                  const uint8_t* keep_base, int64_t n, int64_t l,
                  const uint8_t* ref_window, int64_t ref_len,
                  int64_t win_offset, int64_t win_start, int64_t win_end,
                  int min_phred, uint32_t* counters, int nthreads) {
   const int64_t W = win_end - win_start;
   if (W <= 0 || n < 0 || l < 0) return 2;
-  Args a{seq,     qual,    refpos,     strand,    keep_base, n, l,
+  Args<RP> a{seq,     qual,    refpos,     strand,    keep_base, n, l,
          ref_window, ref_len, win_offset, win_start, win_end,   min_phred};
   if (nthreads < 1) nthreads = 1;
   const int64_t min_rows_per_thread = 8192;
@@ -109,6 +106,35 @@ int mdtpu_pileup(const uint8_t* seq, const uint8_t* qual,
     for (int64_t k = 0; k < W * 4; ++k) counters[k] += src[k];
   }
   return rc[0];
+}
+
+}  // namespace
+
+extern "C" {
+
+// counters: caller-zeroed uint32 [win_end - win_start, 4]. Returns 0 on
+// success; nonzero = unsupported input (caller falls back to numpy).
+int mdtpu_pileup(const uint8_t* seq, const uint8_t* qual,
+                 const int32_t* refpos, const int32_t* strand,
+                 const uint8_t* keep_base, int64_t n, int64_t l,
+                 const uint8_t* ref_window, int64_t ref_len,
+                 int64_t win_offset, int64_t win_start, int64_t win_end,
+                 int min_phred, uint32_t* counters, int nthreads) {
+  return pileup_entry(seq, qual, refpos, strand, keep_base, n, l, ref_window,
+                      ref_len, win_offset, win_start, win_end, min_phred,
+                      counters, nthreads);
+}
+
+// int64-refpos twin: the decoder's refpos without the per-window astype.
+int mdtpu_pileup64(const uint8_t* seq, const uint8_t* qual,
+                   const int64_t* refpos, const int32_t* strand,
+                   const uint8_t* keep_base, int64_t n, int64_t l,
+                   const uint8_t* ref_window, int64_t ref_len,
+                   int64_t win_offset, int64_t win_start, int64_t win_end,
+                   int min_phred, uint32_t* counters, int nthreads) {
+  return pileup_entry(seq, qual, refpos, strand, keep_base, n, l, ref_window,
+                      ref_len, win_offset, win_start, win_end, min_phred,
+                      counters, nthreads);
 }
 
 }  // extern "C"

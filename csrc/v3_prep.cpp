@@ -41,7 +41,8 @@ extern "C" {
 // refpos[lq-1]==pos+lq-1, no negative refpos inside the read — see
 // _rows_gapless) AND it contains no base code 0 ('=', the prealigned
 // layout's pad sentinel — see _rows_no_eq_base). lq==0 rows are simple.
-// out_simple: uint8[n] (1 = simple).
+// out_simple: uint8[n] (1 = simple). The gap/'=' scan is branchless
+// (accumulated OR) so the compiler vectorizes it.
 int mdtpu_v3_flags(const uint8_t* seq, const int32_t* refpos,
                    const int64_t* pos, const int32_t* lq, int64_t n,
                    int64_t L, uint8_t* out_simple, int nthreads) {
@@ -58,13 +59,36 @@ int mdtpu_v3_flags(const uint8_t* seq, const int32_t* refpos,
       out_simple[r] = 0;
       return;
     }
-    for (int64_t j = 0; j < l; ++j) {
-      if (rp[j] < 0 || sq[j] == 0) {
-        out_simple[r] = 0;
-        return;
-      }
+    int bad = 0;
+    for (int64_t j = 0; j < l; ++j)
+      bad |= (rp[j] < 0) | (sq[j] == 0);
+    out_simple[r] = static_cast<uint8_t>(!bad);
+  });
+  return 0;
+}
+
+// int64 variant: the decoder's refpos is int64; this avoids the 70+ MB
+// astype(int32) per window the int32-only entry point forces.
+int mdtpu_v3_flags64(const uint8_t* seq, const int64_t* refpos,
+                     const int64_t* pos, const int32_t* lq, int64_t n,
+                     int64_t L, uint8_t* out_simple, int nthreads) {
+  if (!seq || !refpos || !pos || !lq || !out_simple) return -1;
+  parallel_rows(n, nthreads, [&](int64_t r) {
+    const int64_t l = std::min<int64_t>(lq[r], L);
+    if (l <= 0) {
+      out_simple[r] = 1;
+      return;
     }
-    out_simple[r] = 1;
+    const int64_t* rp = refpos + r * L;
+    const uint8_t* sq = seq + r * L;
+    if (rp[0] != pos[r] || rp[l - 1] != pos[r] + l - 1) {
+      out_simple[r] = 0;
+      return;
+    }
+    int bad = 0;
+    for (int64_t j = 0; j < l; ++j)
+      bad |= (rp[j] < 0) | (sq[j] == 0);
+    out_simple[r] = static_cast<uint8_t>(!bad);
   });
   return 0;
 }
@@ -84,20 +108,22 @@ int mdtpu_v3_pack(const uint8_t* seq, const uint8_t* qual,
   if (!seq || !qual || !src_rows || !pos || !strand || !seqpack || !pos_p ||
       !parity_p)
     return -1;
+  const uint8_t mp = static_cast<uint8_t>(
+      std::max(0, std::min(255, min_phred)));
   parallel_rows(nf, nthreads, [&](int64_t r) {
     const int64_t i = src_rows[r];
     const uint8_t* sq = seq + i * L;
     const uint8_t* ql = qual + i * L;
     uint8_t* out = seqpack + r * Lh;
+    // pass 1 (vectorized): branchless phred gate
+    uint8_t v[1024];
+    if (L > 1024) return;
+    for (int64_t j = 0; j < L; ++j)
+      v[j] = (ql[j] >= mp) ? sq[j] : static_cast<uint8_t>(0);
     const int64_t pairs = L / 2;
-    for (int64_t j = 0; j < pairs; ++j) {
-      const uint8_t lo = ql[2 * j] >= min_phred ? sq[2 * j] : 0;
-      const uint8_t hi = ql[2 * j + 1] >= min_phred ? sq[2 * j + 1] : 0;
-      out[j] = static_cast<uint8_t>(lo | (hi << 4));
-    }
-    if (L & 1) {
-      out[pairs] = ql[L - 1] >= min_phred ? sq[L - 1] : 0;
-    }
+    for (int64_t j = 0; j < pairs; ++j)
+      out[j] = static_cast<uint8_t>(v[2 * j] | (v[2 * j + 1] << 4));
+    if (L & 1) out[pairs] = v[L - 1];
     pos_p[r] = static_cast<int32_t>(pos[i] - win_start);
     parity_p[r] = static_cast<uint8_t>(strand[i] & 1);
   });
@@ -119,6 +145,8 @@ int mdtpu_v3_pack2(const uint8_t* seq, const uint8_t* qual,
   if (!seq || !qual || !src_rows || !pos || !strand || !seqpack || !pos_p ||
       !parity_p)
     return -1;
+  const uint8_t mp = static_cast<uint8_t>(
+      std::max(0, std::min(255, min_phred)));
   parallel_rows(nf, nthreads, [&](int64_t r) {
     const int64_t i = src_rows[r];
     const uint8_t* sq = seq + i * L;
@@ -127,14 +155,49 @@ int mdtpu_v3_pack2(const uint8_t* seq, const uint8_t* qual,
     const uint8_t meth = p ? 2 : 4;    // C : G
     const uint8_t unmeth = p ? 8 : 1;  // T : A
     uint8_t* out = seqpack + r * Lq;
+    // pass 1 (vectorized): branchless per-base 2-bit codes
+    uint8_t v[1024];  // L <= 256 in practice; Lq*4 <= 1024 guard below
+    const int64_t L4 = Lq * 4;
+    if (L4 > 1024) return;
     for (int64_t j = 0; j < L; ++j) {
-      const uint8_t c = ql[j] >= min_phred ? sq[j] : 0;
-      const uint8_t v = c == meth ? 1 : (c == unmeth ? 2 : 0);
-      out[j >> 2] = static_cast<uint8_t>(out[j >> 2] | (v << (2 * (j & 3))));
+      const uint8_t c = (ql[j] >= mp) ? sq[j] : static_cast<uint8_t>(0);
+      v[j] = static_cast<uint8_t>((c == meth) + 2 * (c == unmeth));
+    }
+    for (int64_t j = L; j < L4; ++j) v[j] = 0;
+    // pass 2: 4 codes -> 1 byte (cheap ALU over Lq outputs)
+    for (int64_t k = 0; k < Lq; ++k) {
+      const uint8_t* q4 = v + 4 * k;
+      out[k] = static_cast<uint8_t>(q4[0] | (q4[1] << 2) | (q4[2] << 4) |
+                                    (q4[3] << 6));
     }
     pos_p[r] = static_cast<int32_t>(pos[i] - win_start);
     parity_p[r] = static_cast<uint8_t>(p);
   });
+  return 0;
+}
+
+// Reference candidate bitmaps for the v3 2-bit program: bit i of the
+// output (np.packbits order: MSB-first within each byte) says whether
+// window position i has reference base 'C' (out_c) / 'G' (out_g), where
+// the window/ref frame shift woff_rel is applied here:
+//   rbw[i] = (0 <= i - woff_rel < ref_len) ? ref[i - woff_rel] : 0
+// Replaces an ~9 ms/window numpy where+clip+gather+packbits chain.
+int mdtpu_v3_refbits(const uint8_t* ref, int64_t ref_len, int64_t woff_rel,
+                     int64_t wpad, uint8_t* out_c, uint8_t* out_g) {
+  if (!ref || !out_c || !out_g || wpad % 8) return -1;
+  for (int64_t b = 0; b < wpad / 8; ++b) {
+    uint8_t bc = 0, bg = 0;
+    const int64_t base = 8 * b;
+    for (int k = 0; k < 8; ++k) {
+      const int64_t idx = base + k - woff_rel;
+      const uint8_t c =
+          (idx >= 0 && idx < ref_len) ? ref[idx] : static_cast<uint8_t>(0);
+      bc = static_cast<uint8_t>(bc | ((c == 'C') << (7 - k)));
+      bg = static_cast<uint8_t>(bg | ((c == 'G') << (7 - k)));
+    }
+    out_c[b] = bc;
+    out_g[b] = bg;
+  }
   return 0;
 }
 

@@ -140,9 +140,16 @@ def compute_window_counters_host(cfg, batch, strand_arr, keep, ref_window,
     kidx = np.nonzero(keep)[0]
     if len(kidx) == 0:
         return np.zeros((win_end - win_start, 4), dtype=np.uint32)
-    seq = batch.seq[kidx]
-    qual = batch.qual[kidx]
-    refpos = batch.refpos[kidx]
+    if len(kidx) == batch.n:
+        # keep-all window: views instead of ~100 MB fancy-index copies
+        # (arbitration mutates qual only, so only qual is copied)
+        seq = batch.seq
+        qual = batch.qual.copy()
+        refpos = batch.refpos
+    else:
+        seq = batch.seq[kidx]
+        qual = batch.qual[kidx]
+        refpos = batch.refpos[kidx]
     st = strand_arr[kidx]
     a_idx, b_idx = sem.pair_mates_batch(batch, kidx)
     fb = native.arbitrate(seq, qual, refpos, st, a_idx, b_idx)

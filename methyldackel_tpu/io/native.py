@@ -132,6 +132,21 @@ def _load():
             lib._has_v3 = True
         except AttributeError:
             lib._has_v3 = False
+        try:
+            lib.mdtpu_v3_flags64.restype = ctypes.c_int
+            lib.mdtpu_v3_flags64.argtypes = lib.mdtpu_v3_flags.argtypes
+            lib.mdtpu_v3_refbits.restype = ctypes.c_int
+            lib.mdtpu_v3_refbits.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.mdtpu_arbitrate64.restype = ctypes.c_int64
+            lib.mdtpu_arbitrate64.argtypes = lib.mdtpu_arbitrate.argtypes
+            lib.mdtpu_pileup64.restype = ctypes.c_int
+            lib.mdtpu_pileup64.argtypes = lib.mdtpu_pileup.argtypes
+            lib._has_v3b = True
+        except AttributeError:
+            lib._has_v3b = False
         _LIB = lib
     except (OSError, AttributeError) as exc:
         # The artifact exists but can't be loaded (missing runtime dep, ABI
@@ -296,7 +311,12 @@ def pileup_channels(seq, qual, refpos, strand_arr, keep_base, ref_window,
     n, l = seq.shape
     seq = np.ascontiguousarray(seq, np.uint8)
     qual = np.ascontiguousarray(qual, np.uint8)
-    refpos = np.ascontiguousarray(refpos, np.int32)
+    if (refpos.dtype == np.int64 and refpos.flags.c_contiguous
+            and getattr(lib, "_has_v3b", False)):
+        entry = lib.mdtpu_pileup64  # no 70 MB astype for decoder output
+    else:
+        refpos = np.ascontiguousarray(refpos, np.int32)
+        entry = lib.mdtpu_pileup
     strand = np.ascontiguousarray(strand_arr, np.int32)
     ref_window = np.ascontiguousarray(ref_window, np.uint8)
     kb = None
@@ -308,10 +328,10 @@ def pileup_channels(seq, qual, refpos, strand_arr, keep_base, ref_window,
     def ptr(a):
         return None if a is None else a.ctypes.data_as(ctypes.c_void_p)
 
-    rc = lib.mdtpu_pileup(ptr(seq), ptr(qual), ptr(refpos), ptr(strand),
-                          ptr(kb), n, l, ptr(ref_window), len(ref_window),
-                          win_offset, win_start, win_end, int(min_phred),
-                          ptr(counters), _nthreads())
+    rc = entry(ptr(seq), ptr(qual), ptr(refpos), ptr(strand),
+               ptr(kb), n, l, ptr(ref_window), len(ref_window),
+               win_offset, win_start, win_end, int(min_phred),
+               ptr(counters), _nthreads())
     if rc != 0:
         return None
     return counters
@@ -330,7 +350,12 @@ def arbitrate(seq, qual, refpos, strand_arr, a_idx, b_idx):
     if not (seq.flags.c_contiguous and qual.flags.c_contiguous
             and seq.dtype == np.uint8 and qual.dtype == np.uint8):
         return None
-    refpos = np.ascontiguousarray(refpos, np.int32)
+    if (refpos.dtype == np.int64 and refpos.flags.c_contiguous
+            and getattr(lib, "_has_v3b", False)):
+        entry = lib.mdtpu_arbitrate64  # no 70 MB astype for decoder output
+    else:
+        refpos = np.ascontiguousarray(refpos, np.int32)
+        entry = lib.mdtpu_arbitrate
     strand = np.ascontiguousarray(strand_arr, np.int32)
     a_idx = np.ascontiguousarray(a_idx, np.int64)
     b_idx = np.ascontiguousarray(b_idx, np.int64)
@@ -341,8 +366,8 @@ def arbitrate(seq, qual, refpos, strand_arr, a_idx, b_idx):
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
-    nfb = lib.mdtpu_arbitrate(ptr(seq), ptr(qual), ptr(refpos), ptr(strand),
-                              n, l, ptr(a_idx), ptr(b_idx), p, ptr(fb))
+    nfb = entry(ptr(seq), ptr(qual), ptr(refpos), ptr(strand),
+                n, l, ptr(a_idx), ptr(b_idx), p, ptr(fb))
     if nfb < 0:
         return None
     return fb[:nfb]
@@ -360,7 +385,16 @@ def v3_flags(seq, refpos, pos, lq):
     if lib is None or not lib._has_v3:
         return None
     if not (seq.flags.c_contiguous and seq.dtype == np.uint8
-            and refpos.flags.c_contiguous and refpos.dtype == np.int32):
+            and refpos.flags.c_contiguous):
+        return None
+    if refpos.dtype == np.int64 and getattr(lib, "_has_v3b", False):
+        entry = lib.mdtpu_v3_flags64
+    elif refpos.dtype == np.int32:
+        entry = lib.mdtpu_v3_flags
+    elif refpos.dtype == np.int64:
+        refpos = np.ascontiguousarray(refpos, np.int32)
+        entry = lib.mdtpu_v3_flags
+    else:
         return None
     pos = np.ascontiguousarray(pos, np.int64)
     lq = np.ascontiguousarray(lq, np.int32)
@@ -370,11 +404,35 @@ def v3_flags(seq, refpos, pos, lq):
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
-    rc = lib.mdtpu_v3_flags(ptr(seq), ptr(refpos), ptr(pos), ptr(lq), n, L,
-                            ptr(out), _nthreads())
+    rc = entry(ptr(seq), ptr(refpos), ptr(pos), ptr(lq), n, L,
+               ptr(out), _nthreads())
     if rc != 0:
         return None
     return out.astype(bool)
+
+
+def v3_refbits(ref_p, woff_rel, wpad):
+    """Packed (MSB-first, np.packbits-compatible) candidate bitmaps for the
+    v3 2-bit program: returns (bits_c, bits_g) u8 [wpad//8] where bit i
+    says window position i has ref base C / G after the woff_rel frame
+    shift. None if the library isn't built."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_v3b", False) or wpad % 8:
+        return None
+    ref_p = np.ascontiguousarray(ref_p, np.uint8)
+    out_c = np.empty(wpad // 8, np.uint8)
+    out_g = np.empty(wpad // 8, np.uint8)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.mdtpu_v3_refbits(ptr(ref_p), len(ref_p), int(woff_rel),
+                              int(wpad), ptr(out_c), ptr(out_g))
+    if rc != 0:
+        return None
+    return out_c, out_g
 
 
 def v3_pack(seq, qual, src_rows, pos, strand, Lh, nf_cap, win_start,

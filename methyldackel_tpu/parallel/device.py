@@ -854,6 +854,16 @@ _V3_SAT = {"bits": 8}
 # (see _fused_dispatch_v3's no-hard branch).
 _HARD_DUMMIES: dict = {}
 
+# Shape-bucket high-water marks (process-global). Every distinct
+# (Nb, GMAX, ...) bucket is a separate XLA program, and under the axon
+# tunnel each program costs ~20-70 s of executable load per process even
+# with a warm persistent cache (artifacts/soak_r03.log) — so windows are
+# padded UP to the largest bucket seen so far. A run converges to 1-2
+# compiled programs (the first window sets the floor; at most one
+# escalation when a denser/taller window appears) instead of one per
+# power-of-two shape. Escalations monotonically raise the floor.
+_V3_HWM = {"Nb": 0, "GMAX": 0, "NH": 0}
+
 
 def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
                        xla_rows, ref_window, win_start, woff_rel, W_fixed,
@@ -900,15 +910,18 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
     srtk = flat[:, :K].astype(np.int32).reshape(-1)
     cntk = np.diff(flat, axis=1).astype(np.int32).reshape(-1)
     gmax = int(cntk.max()) if len(cntk) else 0
-    GMAX = 64
+    GMAX = max(64, _V3_HWM["GMAX"]) if not interpret else 64
     while GMAX < gmax + 32:
         GMAX *= 2
     if GMAX > max_gmax:
         return None
 
-    Nb = 256
+    Nb = max(256, _V3_HWM["Nb"]) if not interpret else 256
     while Nb < n + GMAX:
         Nb *= 2
+    if not interpret:
+        _V3_HWM["GMAX"] = GMAX
+        _V3_HWM["Nb"] = Nb
     NCH = 4 if cfg.minOppositeDepth > 0 else 2
     # NCH=2 (the default): the emit path reads only meth/unmeth, so codes
     # reduce to SEMANTIC 2-bit values (1=meth base, 2=unmeth base for the
@@ -968,9 +981,11 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
     hrows = np.nonzero(xla_rows)[0]
     HAS_HARD = bool(len(hrows))
     if HAS_HARD:
-        NH = 256
+        NH = max(256, _V3_HWM["NH"]) if not interpret else 256
         while NH < len(hrows) + 1:
             NH *= 2
+        if not interpret:
+            _V3_HWM["NH"] = NH
         hseq = np.zeros((NH, L), np.uint8)
         hqual = np.zeros((NH, L), np.uint8)
         hrefpos = np.full((NH, L), -2, np.int32)
@@ -1041,13 +1056,15 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
     sat_bits = _V3_SAT["bits"]
     if use_2bit:
         nbits = wpad // 8
-        idx = np.arange(wpad, dtype=np.int64) - woff_rel
-        inr = (idx >= 0) & (idx < ref_static)
-        rbw = np.where(inr, ref_p[np.clip(idx, 0, ref_static - 1)], 0)
         # the window/ref frame shift is applied HERE, so the device needs
         # no ref bytes at all unless hard rows ride along
-        parts = [shp, np.packbits(rbw == REF_C),
-                 np.packbits(rbw == REF_G)]
+        rb = native.v3_refbits(ref_p, woff_rel, wpad)
+        if rb is None:
+            idx = np.arange(wpad, dtype=np.int64) - woff_rel
+            inr = (idx >= 0) & (idx < ref_static)
+            rbw = np.where(inr, ref_p[np.clip(idx, 0, ref_static - 1)], 0)
+            rb = (np.packbits(rbw == REF_C), np.packbits(rbw == REF_G))
+        parts = [shp, rb[0], rb[1]]
         rs2 = 0
         if HAS_HARD:
             parts.append(ref_p)
@@ -1198,19 +1215,27 @@ def dispatch_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
     # final clamped window of each contig reuses the compiled kernels.
     W_fixed = _round_up(max(int(cfg.chunkSize) + 16, W), 512)
 
-    seq = batch.seq[kidx]
-    qual = batch.qual[kidx]
-    refpos = batch.refpos[kidx]
-    pos = batch.pos[kidx]
-    lq = batch.l_qseq[kidx]
+    if len(kidx) == batch.n:
+        # keep-all window (the common case): views of the batch arrays
+        # instead of ~100 MB of fancy-index copies. Only qual is mutated
+        # below (host arbitration), so only qual is copied.
+        seq = batch.seq
+        qual = batch.qual.copy()
+        refpos = batch.refpos
+        pos = batch.pos
+        lq = batch.l_qseq
+    else:
+        seq = batch.seq[kidx]
+        qual = batch.qual[kidx]
+        refpos = batch.refpos[kidx]
+        pos = batch.pos[kidx]
+        lq = batch.l_qseq[kidx]
     st = strand_arr[kidx].astype(np.int32)
     flag = batch.flag[kidx].astype(np.uint16)
 
     from ..io import native as _native
 
-    simple = _native.v3_flags(
-        seq, refpos if refpos.dtype == np.int32 else refpos.astype(np.int32),
-        pos, lq)
+    simple = _native.v3_flags(seq, refpos, pos, lq)
     if simple is None:
         simple = _rows_gapless(refpos, pos, lq) & _rows_no_eq_base(seq, lq)
     a_np, b_np = sem.pair_mates_batch(batch, kidx)
