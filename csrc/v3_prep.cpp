@@ -201,4 +201,118 @@ int mdtpu_v3_refbits(const uint8_t* ref, int64_t ref_len, int64_t woff_rel,
   return 0;
 }
 
+// perRead v3 pack (engine/perread.py device path): per gapless source row
+// i = src_rows[r], emit 2-bit TALLY codes per read cycle j < lq:
+//   1 = methylated call, 2 = unmethylated call, 0 = no call
+// where the call at cycle j is: d = dir[pos+j-seq_start] (CpG direction,
+// +1 = C-of-CpG, -1 = G-of-CpG, 0 = none; 0 outside [0, seq_len)),
+// top = (d==+1 && odd strand), bot = (d==-1 && even strand), and
+// meth = top&&base==C(2) || bot&&base==G(4); unmeth = top&&base==T(8) ||
+// bot&&base==A(1) (processRead, perRead.c:64-92). Rows containing ANY
+// sub-phred base within lq are flagged in out_haslow (1) — their codes are
+// garbage wrt the low-qual skip quirk (perRead.c:59-63) and the caller
+// must recompute them with the exact host walker. seqpack is
+// [nf_cap, Lq] and MUST be zero-initialized by the caller.
+int mdtpu_perread_pack(const uint8_t* seq, const uint8_t* qual,
+                       const int64_t* src_rows, const int64_t* pos,
+                       const int32_t* lq, const int32_t* strand,
+                       const int8_t* dir, int64_t seq_len, int64_t seq_start,
+                       int64_t nf, int64_t L, int64_t Lq, int min_phred,
+                       uint8_t* seqpack, uint8_t* out_haslow, int nthreads) {
+  if (!seq || !qual || !src_rows || !pos || !lq || !strand || !dir ||
+      !seqpack || !out_haslow)
+    return -1;
+  const uint8_t mp =
+      static_cast<uint8_t>(std::max(0, std::min(255, min_phred)));
+  parallel_rows(nf, nthreads, [&](int64_t r) {
+    const int64_t i = src_rows[r];
+    const uint8_t* sq = seq + i * L;
+    const uint8_t* ql = qual + i * L;
+    const bool odd = (strand[i] & 1) != 0;
+    const int64_t l = std::min<int64_t>(lq[i], L);
+    uint8_t* out = seqpack + r * Lq;
+    uint8_t v[1024];
+    const int64_t L4 = Lq * 4;
+    if (L4 > 1024) return;
+    int haslow = 0;
+    const int64_t base0 = pos[i] - seq_start;
+    for (int64_t j = 0; j < l; ++j) {
+      haslow |= ql[j] < mp;
+      const int64_t w = base0 + j;
+      const int8_t d = (w >= 0 && w < seq_len) ? dir[w] : 0;
+      const bool top = d == 1 && odd;
+      const bool bot = d == -1 && !odd;
+      const uint8_t b = sq[j];
+      const uint8_t meth = (top && b == 2) || (bot && b == 4);
+      const uint8_t unmeth = (top && b == 8) || (bot && b == 1);
+      v[j] = static_cast<uint8_t>(meth + 2 * unmeth);
+    }
+    for (int64_t j = l; j < L4; ++j) v[j] = 0;
+    for (int64_t k = 0; k < Lq; ++k) {
+      const uint8_t* q4 = v + 4 * k;
+      out[k] = static_cast<uint8_t>(q4[0] | (q4[1] << 2) | (q4[2] << 4) |
+                                    (q4[3] << 6));
+    }
+    out_haslow[r] = static_cast<uint8_t>(haslow != 0);
+  });
+  return 0;
+}
+
+// mbias v3 pack (engine/mbias.py device path): per gapless source row
+// i = src_rows[r] emit 2-bit codes per read cycle j < lq:
+//   1 = methylated call, 2 = unmethylated call, 0 = no call
+// with extractMBias's gating (MBias.c:180-214): qual >= minPhred, the
+// window bounds win_start <= pos+j < win_end, the per-position
+// context/calling masks ok_odd/ok_even[pos+j-win_offset] (precomputed:
+// cdir==+1/-1 AND kept context — the isCpG/isCHG/isCHH + strand-side
+// check), and the strand's meth/unmeth base pair (C/T on odd = OT/CTOT
+// rows, G/A on even). out_combo[r] = (strand-1)*2 + read#2 indexes the
+// [4 strands, 2 reads] counter planes. seqpack zero-init by caller.
+int mdtpu_mbias_pack(const uint8_t* seq, const uint8_t* qual,
+                     const int64_t* src_rows, const int64_t* pos,
+                     const int32_t* lq, const int32_t* strand,
+                     const uint16_t* flag, const uint8_t* ok_odd,
+                     const uint8_t* ok_even, int64_t wlen,
+                     int64_t win_offset, int64_t win_start, int64_t win_end,
+                     int64_t nf, int64_t L, int64_t Lq, int min_phred,
+                     uint8_t* seqpack, uint8_t* out_combo, int nthreads) {
+  if (!seq || !qual || !src_rows || !pos || !lq || !strand || !flag ||
+      !ok_odd || !ok_even || !seqpack || !out_combo)
+    return -1;
+  const uint8_t mp =
+      static_cast<uint8_t>(std::max(0, std::min(255, min_phred)));
+  parallel_rows(nf, nthreads, [&](int64_t r) {
+    const int64_t i = src_rows[r];
+    const uint8_t* sq = seq + i * L;
+    const uint8_t* ql = qual + i * L;
+    const int par = strand[i] & 1;
+    const uint8_t meth = par ? 2 : 4;    // C : G
+    const uint8_t unmeth = par ? 8 : 1;  // T : A
+    const uint8_t* ok = par ? ok_odd : ok_even;
+    const int64_t l = std::min<int64_t>(lq[i], L);
+    uint8_t* out = seqpack + r * Lq;
+    uint8_t v[1024];
+    const int64_t L4 = Lq * 4;
+    if (L4 > 1024) return;
+    const int64_t p0 = pos[i];
+    for (int64_t j = 0; j < l; ++j) {
+      const int64_t p = p0 + j;
+      const int64_t w = p - win_offset;
+      const bool valid = p >= win_start && p < win_end && w >= 0 && w < wlen;
+      const uint8_t c =
+          (valid && ql[j] >= mp && ok[w]) ? sq[j] : static_cast<uint8_t>(0);
+      v[j] = static_cast<uint8_t>((c == meth) + 2 * (c == unmeth));
+    }
+    for (int64_t j = l; j < L4; ++j) v[j] = 0;
+    for (int64_t k = 0; k < Lq; ++k) {
+      const uint8_t* q4 = v + 4 * k;
+      out[k] = static_cast<uint8_t>(q4[0] | (q4[1] << 2) | (q4[2] << 4) |
+                                    (q4[3] << 6));
+    }
+    out_combo[r] = static_cast<uint8_t>(
+        (strand[i] - 1) * 2 + ((flag[i] & 0x80) ? 1 : 0));
+  });
+  return 0;
+}
+
 }  // extern "C"

@@ -644,7 +644,10 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
     if n_hosts > 1:
         win_iter = ((i, w) for i, w in win_iter if i % n_hosts == host_id)
     n_threads = max(1, int(getattr(cfg, "nThreads", 1) or 1))
-    pipeline_depth = max(1, int(_os.environ.get("MDTPU_PIPELINE", "3") or 1))
+    # Depth 6: deep enough that host prep keeps flowing through the one-time
+    # per-process executable load (~20 s) of the first window's program;
+    # each in-flight window holds ~10 MB (dispatch releases the batch).
+    pipeline_depth = max(1, int(_os.environ.get("MDTPU_PIPELINE", "6") or 1))
     # MDTPU_INTERNAL_WORKERS=N (device engines at -@ 1): replace the async
     # pipeline with an N-worker sync pool. Measured SLOWER than the async
     # pipeline on the 2-core dev host (63k vs 136k reads/s) — workers block
@@ -657,31 +660,46 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
     if n_threads == 1 and dispatch_fn is not None and compute_lock is None \
             and pipeline_depth > 1:
         # -@ 1 async pipeline: the main thread preps + dispatches windows
-        # (keeping `pipeline_depth` in flight on the device); a single
-        # ordered DRAIN thread performs the readbacks + emit + write, so
-        # the per-window readback wall time (the gRPC wait releases the
-        # GIL) overlaps host prep of later windows instead of stalling it.
-        # One consumer in FIFO order keeps output genome-ordered and the
-        # output streams single-writer.
+        # (keeping `pipeline_depth` in flight on the device); MDTPU_GETTERS
+        # DRAIN threads perform the readbacks + emit concurrently — the
+        # tunnel pipelines concurrent readbacks ~2.75x better than serial
+        # ones (scripts/tunnel_probe.py: 4x2MB gets 237 ms concurrent vs
+        # 652 ms serial) — with a sequence-numbered reorder buffer so
+        # output stays genome-ordered and the streams single-writer.
         import queue as _queue
 
+        n_getters = max(1, int(_os.environ.get("MDTPU_GETTERS", "2") or 1))
         q: "_queue.Queue" = _queue.Queue(maxsize=pipeline_depth)
         failure = []
+        emit_lock = threading.Lock()
+        pending: dict = {}
+        next_emit = [0]
 
         def drain_loop():
             while True:
                 item = q.get()
                 if item is None:
+                    q.put(None)  # propagate shutdown to sibling getters
                     return
-                j, s = item
+                seq_no, j, s = item
                 try:
-                    drain(j, finish_window(s))
+                    res = finish_window(s)
+                    with emit_lock:
+                        pending[seq_no] = (j, res)
+                        while next_emit[0] in pending:
+                            jj, rr = pending.pop(next_emit[0])
+                            drain(jj, rr)
+                            next_emit[0] += 1
                 except BaseException as exc:  # noqa: BLE001 — rethrown below
                     failure.append(exc)
+                    q.put(None)
                     return
 
-        th = threading.Thread(target=drain_loop, daemon=True)
-        th.start()
+        ths = [threading.Thread(target=drain_loop, daemon=True)
+               for _ in range(n_getters)]
+        for th in ths:
+            th.start()
+        seq_no = 0
         try:
             for i, (tid, lpos, lend) in win_iter:
                 if failure:
@@ -691,20 +709,23 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                     continue
                 while not failure:
                     try:
-                        q.put((i, state), timeout=0.5)
+                        q.put((seq_no, i, state), timeout=0.5)
+                        seq_no += 1
                         break
                     except _queue.Full:
                         continue
         finally:
-            while th.is_alive():
+            while any(th.is_alive() for th in ths):
                 try:
                     q.put(None, timeout=0.5)
                     break
                 except _queue.Full:
                     continue
-            th.join()
+            for th in ths:
+                th.join()
         if failure:
             raise failure[0]
+        assert failure or len(pending) == 0
     elif n_threads == 1:
         for i, (tid, lpos, lend) in win_iter:
             drain(i, process_window(tid, lpos, lend))

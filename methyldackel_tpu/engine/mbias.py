@@ -99,7 +99,9 @@ def compute_mbias(cfg, bam, fasta, g_tid=0, g_pos=0, g_end=0):
         wl = int(batch.l_qseq[kidx].max())
         if device_compute is not None:
             return device_compute(seq, qual, refpos, st, flag, keep_base,
-                                  ref_window, lpos, lpos, lend, keep_ctx, wl)
+                                  ref_window, lpos, lpos, lend, keep_ctx, wl,
+                                  pos=batch.pos[kidx],
+                                  lq=batch.l_qseq[kidx])
         return sem.mbias_counters(
             seq, qual, refpos, st, flag, keep_base, ref_window, lpos,
             lpos, lend, keep_ctx, cfg.minPhred, wl,

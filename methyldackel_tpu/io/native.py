@@ -144,6 +144,24 @@ def _load():
             lib.mdtpu_arbitrate64.argtypes = lib.mdtpu_arbitrate.argtypes
             lib.mdtpu_pileup64.restype = ctypes.c_int
             lib.mdtpu_pileup64.argtypes = lib.mdtpu_pileup.argtypes
+            lib.mdtpu_perread_pack.restype = ctypes.c_int
+            lib.mdtpu_perread_pack.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.mdtpu_mbias_pack.restype = ctypes.c_int
+            lib.mdtpu_mbias_pack.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ]
             lib._has_v3b = True
         except AttributeError:
             lib._has_v3b = False
@@ -505,6 +523,79 @@ def v3_pack2(seq, qual, src_rows, pos, strand, Lq, nf_cap, win_start,
     if rc != 0:
         return None
     return seqpack, pos_p, parity_p
+
+
+def perread_pack(seq, qual, src_rows, pos, lq, strand, dirv, seq_start,
+                 seq_len, Lq, nf_cap, min_phred):
+    """Fused perRead tally-code pack (csrc mdtpu_perread_pack): returns
+    (seqpack [nf_cap, Lq] u8 2-bit codes, haslow u8 [nf]) or None."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_v3b", False):
+        return None
+    if not (seq.flags.c_contiguous and seq.dtype == np.uint8
+            and qual.flags.c_contiguous and qual.dtype == np.uint8):
+        return None
+    src_rows = np.ascontiguousarray(src_rows, np.int64)
+    pos = np.ascontiguousarray(pos, np.int64)
+    lq = np.ascontiguousarray(lq, np.int32)
+    strand = np.ascontiguousarray(strand, np.int32)
+    dirv = np.ascontiguousarray(dirv, np.int8)
+    n, L = seq.shape
+    nf = len(src_rows)
+    seqpack = np.zeros((nf_cap, Lq), np.uint8)
+    haslow = np.zeros(nf, np.uint8)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.mdtpu_perread_pack(ptr(seq), ptr(qual), ptr(src_rows), ptr(pos),
+                                ptr(lq), ptr(strand), ptr(dirv),
+                                int(seq_len), int(seq_start), nf, L, Lq,
+                                int(min_phred), ptr(seqpack), ptr(haslow),
+                                _nthreads())
+    if rc != 0:
+        return None
+    return seqpack, haslow
+
+
+def mbias_pack(seq, qual, src_rows, pos, lq, strand, flag, ok_odd, ok_even,
+               win_offset, win_start, win_end, Lq, nf_cap, min_phred):
+    """Fused mbias code pack (csrc mdtpu_mbias_pack): returns
+    (seqpack [nf_cap, Lq] u8 2-bit codes, combo u8 [nf_cap]) or None."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_v3b", False):
+        return None
+    if not (seq.flags.c_contiguous and seq.dtype == np.uint8
+            and qual.flags.c_contiguous and qual.dtype == np.uint8):
+        return None
+    src_rows = np.ascontiguousarray(src_rows, np.int64)
+    pos = np.ascontiguousarray(pos, np.int64)
+    lq = np.ascontiguousarray(lq, np.int32)
+    strand = np.ascontiguousarray(strand, np.int32)
+    flag = np.ascontiguousarray(flag, np.uint16)
+    ok_odd = np.ascontiguousarray(ok_odd, np.uint8)
+    ok_even = np.ascontiguousarray(ok_even, np.uint8)
+    n, L = seq.shape
+    nf = len(src_rows)
+    seqpack = np.zeros((nf_cap, Lq), np.uint8)
+    combo = np.zeros(nf_cap, np.uint8)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.mdtpu_mbias_pack(ptr(seq), ptr(qual), ptr(src_rows), ptr(pos),
+                              ptr(lq), ptr(strand), ptr(flag), ptr(ok_odd),
+                              ptr(ok_even), len(ok_odd), int(win_offset),
+                              int(win_start), int(win_end), nf, L, Lq,
+                              int(min_phred), ptr(seqpack), ptr(combo),
+                              _nthreads())
+    if rc != 0:
+        return None
+    return seqpack, combo
 
 
 def format_cytosine(chrom: str, pos, direction, nm, nu, ctype, tnc_idx):

@@ -97,3 +97,68 @@ def test_mbias_cli_device_byte_identical(fixture_dir):
             a = (fixture_dir / "mb_host" / f).read_bytes()
             b = (fixture_dir / "mb_jax" / f).read_bytes()
             assert a == b, f
+
+
+def test_mbias_v3_pack_path_parity():
+    """The v3 mbias backend (native 2-bit pack + device reduction;
+    VERDICT r3 #3) must equal the numpy oracle on a mixed batch — gapless
+    rows on the packed path, indel rows on the host fallback."""
+    from methyldackel_tpu.io import native
+    from methyldackel_tpu.ops import semantics as sem
+    from methyldackel_tpu.parallel.device import make_mbias_backend
+    from methyldackel_tpu.config import Config
+
+    if not native.available():
+        pytest.skip("native library not built")
+    from methyldackel_tpu.utils.simulate import random_reference, simulate_batch
+
+    rng = np.random.default_rng(90)
+    ref_ascii, ref_codes = random_reference(rng, 1200)
+    batch = simulate_batch(rng, ref_codes, n_pairs=40, read_len=50)
+    st = sem.strand(batch.flag, batch.xg)
+    # corrupt some rows into indel shapes (refpos gap) to force fallback
+    batch.refpos[5, 20:] += 3
+    batch.refpos[11, 7] = -1
+    keep_base = np.ones(batch.seq.shape, bool)
+    cfg = Config()
+    cfg.chunkSize = 1024
+    W = 1024
+    wl = int(batch.l_qseq.max())
+    for keep_ctx in ((1, 0, 0), (1, 1, 1)):
+        host = sem.mbias_counters(batch.seq, batch.qual, batch.refpos, st,
+                                  batch.flag, keep_base, ref_ascii, 0, 0, W,
+                                  keep_ctx, cfg.minPhred, wl)
+        dev = make_mbias_backend(cfg)(
+            batch.seq, batch.qual, batch.refpos, st, batch.flag, keep_base,
+            ref_ascii, 0, 0, W, keep_ctx, wl, pos=batch.pos,
+            lq=batch.l_qseq)
+        assert np.array_equal(host, dev), keep_ctx
+
+
+def test_mbias_v3_nonzero_window_parity():
+    """v3 pack path with a non-zero window start and a truncated ref."""
+    from methyldackel_tpu.io import native
+    from methyldackel_tpu.ops import semantics as sem
+    from methyldackel_tpu.parallel.device import make_mbias_backend
+    from methyldackel_tpu.config import Config
+
+    if not native.available():
+        pytest.skip("native library not built")
+    from methyldackel_tpu.utils.simulate import random_reference, simulate_batch
+
+    rng = np.random.default_rng(91)
+    ref_ascii, ref_codes = random_reference(rng, 900)
+    batch = simulate_batch(rng, ref_codes, n_pairs=30, read_len=40)
+    st = sem.strand(batch.flag, batch.xg)
+    keep_base = np.ones(batch.seq.shape, bool)
+    cfg = Config()
+    cfg.chunkSize = 256
+    sub = ref_ascii[150:410]
+    wl = int(batch.l_qseq.max())
+    host = sem.mbias_counters(batch.seq, batch.qual, batch.refpos, st,
+                              batch.flag, keep_base, sub, 150, 150, 406,
+                              (1, 1, 1), cfg.minPhred, wl)
+    dev = make_mbias_backend(cfg)(
+        batch.seq, batch.qual, batch.refpos, st, batch.flag, keep_base,
+        sub, 150, 150, 406, (1, 1, 1), wl, pos=batch.pos, lq=batch.l_qseq)
+    assert np.array_equal(host, dev)

@@ -91,3 +91,38 @@ def test_perread_cli_device_byte_identical(fixture_dir):
         outs[engine] = r.stdout
     assert outs["host"] == outs["jax"]
     assert len(outs["host"]) > 0
+
+
+def test_perread_v3_lowq_rows_exact():
+    """The v3 perRead backend routes rows containing sub-phred bases to the
+    exact host walker (the low-qual skip quirk, perRead.c:59-63); a batch
+    dense with low-qual bases must still match the oracle exactly."""
+    import numpy as np
+    from methyldackel_tpu.io import native
+    from methyldackel_tpu.ops import semantics as sem
+    from methyldackel_tpu.parallel.device import make_perread_backend
+    from methyldackel_tpu.engine.perread import process_reads_gapless
+    from methyldackel_tpu.config import Config
+    from methyldackel_tpu.utils.simulate import random_reference, simulate_batch_fast
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(77)
+    ref_ascii, ref_codes = random_reference(rng, 3000)
+    batch = simulate_batch_fast(rng, ref_codes, 60, 60)
+    # sprinkle sub-phred quals over half the rows
+    low = rng.random(batch.qual.shape) < 0.15
+    low[::2] = False
+    batch.qual[low] = rng.integers(0, 5, int(low.sum())).astype(np.uint8)
+    st = sem.strand(batch.flag, batch.xg)
+    cfg = Config()
+    cfg.chunkSize = 4096
+    want = process_reads_gapless(cfg, batch.seq, batch.qual, batch.pos,
+                                 batch.l_qseq, st, ref_ascii, 0,
+                                 len(ref_ascii))
+    got = make_perread_backend(cfg)(batch.seq, batch.qual, batch.pos,
+                                    batch.l_qseq, st, ref_ascii, 0,
+                                    len(ref_ascii))
+    assert np.array_equal(want[0], got[0])
+    assert np.array_equal(want[1], got[1])

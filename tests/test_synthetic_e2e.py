@@ -218,3 +218,41 @@ def test_xg_tag_nondirectional(tmp_path):
     assert ["c", "2", "3", "100", "1", "0"] in got
     assert ["c", "6", "7", "100", "1", "0"] in got
     assert ["c", "7", "8", "0", "0", "1"] in got
+
+
+def test_device_engine_thread_invariance(tmp_path):
+    """VERDICT r3 #4: the device engine's -@ N path (workers prep+dispatch,
+    ordered drain) and the -@ 1 multi-getter pipeline must be byte-
+    invariant to thread count and getter count (the analogue of the
+    reference's ticket-ordered flush, extract.c:514-535, 1479-1484)."""
+    import subprocess, sys as _sys, numpy as np
+
+    rng = np.random.default_rng(11)
+    glen = 600
+    ref = "".join(rng.choice(list("ACGT"), glen))
+    write_fa(tmp_path / "g.fa", [("c", ref)])
+    recs = []
+    for k in range(80):
+        p = int(rng.integers(0, glen - 50))
+        seq = ref[p : p + 40].replace("C", "T") if k % 3 else ref[p : p + 40]
+        recs.append(dict(qname=f"r{k}", flag=0, tid=0, pos=p, seq=seq,
+                         mtid=-1, mpos=-1))
+    recs.sort(key=lambda r: r["pos"])
+    write_bam(tmp_path / "r.bam", [("c", glen)], recs)
+    outs = {}
+    for tag, extra_env, args in (
+        ("t1", {"MDTPU_GETTERS": "1"}, []),
+        ("t1g3", {"MDTPU_GETTERS": "3", "MDTPU_PIPELINE": "2"}, []),
+        ("t4", {}, ["-@", "4"]),
+    ):
+        env = dict(ENV, MDTPU_ENGINE="jax", MDTPU_FORCE_PLATFORM="cpu",
+                   **extra_env)
+        r = subprocess.run([_sys.executable, "-m", "methyldackel_tpu.cli",
+                            "extract", "--chunkSize", "96", *args,
+                            "g.fa", "r.bam", "-o", tag],
+                           cwd=tmp_path, env=env, capture_output=True,
+                           text=True)
+        assert r.returncode == 0, (tag, r.stderr)
+        outs[tag] = rows(tmp_path / f"{tag}_CpG.bedGraph")
+    assert outs["t1"] == outs["t1g3"] == outs["t4"]
+    assert len(outs["t1"]) > 3
