@@ -42,13 +42,15 @@ import gzip as gzip_mod
 import numpy as np
 
 from . import rans4x8
+from . import ransnx16
 from .bam import AlignmentSoA, BamHeader, _expand_cigar
 from .fasta import FastaFile
 
 CRAM_MAGIC = b"CRAM"
 
-# block compression methods
+# block compression methods (3.0: 0-4; 3.1 adds 5-8)
 RAW, GZIP, BZIP2, LZMA, RANS = 0, 1, 2, 3, 4
+RANSNX16, ARITH, FQZCOMP, TOK3 = 5, 6, 7, 8
 # block content types
 FILE_HEADER, COMPRESSION_HEADER, SLICE_HEADER, EXTERNAL_DATA, CORE_DATA = 0, 1, 2, 4, 5
 # encodings
@@ -200,6 +202,17 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         return lzma.decompress(data)
     if method == RANS:
         return rans4x8.uncompress(data)
+    if method == RANSNX16:
+        return ransnx16.uncompress(data, raw_size)
+    if method in (ARITH, FQZCOMP, TOK3):
+        name = {ARITH: "adaptive arithmetic (method 6)",
+                FQZCOMP: "fqzcomp quality (method 7)",
+                TOK3: "name tokeniser (method 8)"}[method]
+        raise ValueError(
+            f"cram: this file uses the CRAM 3.1 {name} block codec, which "
+            f"this reader does not implement yet (rANS Nx16, method 5, IS "
+            f"supported); re-encode with `samtools view --output-fmt-option "
+            f"version=3.0` or use codecs raw/gzip/bzip2/lzma/rANS")
     raise ValueError(f"cram: unsupported block compression method {method}")
 
 
@@ -216,6 +229,9 @@ def _compress(method: int, data: bytes) -> bytes:
     if method == RANS:
         order = 1 if len(data) >= 1024 else 0
         return rans4x8.compress(data, order)
+    if method == RANSNX16:
+        flags = ransnx16.ORDER1 if len(data) >= 1024 else 0
+        return ransnx16.compress(data, flags)
     raise ValueError(f"cram: unsupported block compression method {method}")
 
 
@@ -558,8 +574,12 @@ class CramFile(AlignmentSoA):
         if buf[:4] != CRAM_MAGIC:
             raise ValueError(f"{path} is not a CRAM file")
         major, minor = buf[4], buf[5]
-        if major != 3:
-            raise ValueError(f"cram: unsupported version {major}.{minor}")
+        # 3.0 and 3.1 share the container layout; 3.1 adds block codecs
+        # 5-8 (rANS Nx16 supported; others error actionably in _decompress).
+        if major != 3 or minor > 1:
+            raise ValueError(
+                f"cram: unsupported version {major}.{minor} (this reader "
+                f"supports CRAM 3.0 and 3.1)")
         p = 26  # magic + version + 20-byte file id
         self._records: list[dict] = []
         first = True
@@ -1446,8 +1466,10 @@ class StreamingCramFile:
         head = self._read_at(0, 26)
         if head[:4] != CRAM_MAGIC:
             raise ValueError(f"{path} is not a CRAM file")
-        if head[4] != 3:
-            raise ValueError(f"cram: unsupported version {head[4]}.{head[5]}")
+        if head[4] != 3 or head[5] > 1:
+            raise ValueError(
+                f"cram: unsupported version {head[4]}.{head[5]} (this "
+                f"reader supports CRAM 3.0 and 3.1)")
         # file-header container
         buf = self._read_at(26, 1 << 20)
         shell = CramFile.__new__(CramFile)

@@ -90,7 +90,11 @@ class _ForeignEncoder:
         self.ext[cid] += data
 
 
-def _build_foreign_cram(tmp_path):
+def _build_foreign_cram(tmp_path, v31=False):
+    """Independent-encoder CRAM fixture. v31=True writes a CRAM 3.1
+    container: version bytes (3,1) and external/core blocks compressed
+    with rANS Nx16 under a spread of transform flags (order-0/1, PACK,
+    RLE, X32, STRIPE) — the foreign-dialect gate for io/ransnx16.py."""
     enc = _ForeignEncoder()
 
     # ---------- slice 1: proper pair, NF downstream mate ----------
@@ -221,6 +225,25 @@ def _build_foreign_cram(tmp_path):
         Block(COMPRESSION_HEADER, 0, pres_map + ser_map + tag_map, RAW))
 
     # ---------- slices ----------
+    from methyldackel_tpu.io import ransnx16
+    from methyldackel_tpu.io.cram import RANSNX16
+    import zlib as _zlib
+
+    nx16_flags = [0, ransnx16.ORDER1, ransnx16.PACK,
+                  ransnx16.RLE, ransnx16.PACK | ransnx16.RLE,
+                  ransnx16.X32 | ransnx16.ORDER1, ransnx16.STRIPE,
+                  ransnx16.CAT]
+
+    def block_nx16(ctype, cid, data, flags):
+        comp = ransnx16.compress(data, flags)
+        out = bytearray([RANSNX16, ctype])
+        out += write_itf8(cid)
+        out += write_itf8(len(comp))
+        out += write_itf8(len(data))
+        out += comp
+        out += struct.pack("<I", _zlib.crc32(bytes(out)) & 0xFFFFFFFF)
+        return bytes(out)
+
     def slice_blocks(aln_start, aln_span, n_records, core, ext, gzip_cid):
         cids = sorted(ext)
         shdr = bytearray()
@@ -234,6 +257,12 @@ def _build_foreign_cram(tmp_path):
         shdr += write_itf8(-1)             # no embedded ref
         shdr += b"\x00" * 16               # md5
         out = _write_block(Block(SLICE_HEADER, 0, bytes(shdr), RAW))
+        if v31:
+            out += block_nx16(CORE_DATA, 0, core, ransnx16.ORDER1)
+            for k, cid in enumerate(cids):
+                out += block_nx16(EXTERNAL_DATA, cid, ext[cid],
+                                  nx16_flags[k % len(nx16_flags)])
+            return out
         out += _write_block(Block(CORE_DATA, 0, core, RAW))
         for cid in cids:
             method = GZIP if cid == gzip_cid else RAW
@@ -245,7 +274,7 @@ def _build_foreign_cram(tmp_path):
     body += slice_blocks(13, 8, 2, slice2_core, slice2_ext, gzip_cid=1)
 
     out = bytearray()
-    out += CRAM_MAGIC + bytes([3, 0]) + b"\x00" * 20
+    out += CRAM_MAGIC + bytes([3, 1 if v31 else 0]) + b"\x00" * 20
     sam = "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chrF\tLN:32\n"
     hdr_payload = struct.pack("<i", len(sam)) + sam.encode()
     hdr_block = _write_block(Block(FILE_HEADER, 0, hdr_payload, RAW))
