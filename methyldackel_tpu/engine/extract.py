@@ -547,6 +547,22 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
 
     dispatch_fn = getattr(compute, "dispatch", None)
 
+    # Device backends: one program per run. (a) pad every window batch to
+    # the file-global max read length so window-local maxima don't mint new
+    # (L, Lq, ...) shape buckets; (b) pre-warm the canonical program in the
+    # background so the per-process executable load overlaps decode/prep
+    # (weak r3 #5: the 67.8 s mid-run stall in the r3 soak).
+    global_L = None
+    prewarm_fn = getattr(compute, "prewarm", None)
+    if dispatch_fn is not None:
+        lq_all = getattr(bam, "l_qseq", None)
+        if lq_all is not None and len(lq_all):
+            global_L = int(np.max(lq_all))
+        if prewarm_fn is not None and global_L \
+                and _os.environ.get("MDTPU_PREWARM", "1") != "0":
+            threading.Thread(target=prewarm_fn, args=(global_L,),
+                             daemon=True).start()
+
     def start_window(tid, lpos, lend):
         """Host prep + (async backends) device dispatch for one window.
         Returns None (window skipped) or an opaque state for finish_window."""
@@ -575,7 +591,7 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
         with STATS.timer("window_prepare"):
             view = bam.window_soa(tid, lpos, lend)
             idx = view.overlapping(tid, lpos, lend)
-            batch = view.batch(idx)
+            batch = view.batch(idx, width=global_L)
             strand_arr = sem.strand(batch.flag, batch.xg)
             keep = prepare_window_reads(cfg, bam, batch, strand_arr, tid,
                                         bed_state, ref_window, lpos2)
