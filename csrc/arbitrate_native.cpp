@@ -12,6 +12,7 @@
 // pairs are skipped outright (both paths do).
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -77,6 +78,98 @@ int64_t mdtpu_arbitrate64(const uint8_t* seq, uint8_t* qual,
                           int64_t* fallback) {
   return arbitrate_impl(seq, qual, refpos, strand, n, l, a_idx, b_idx, p,
                         fallback);
+}
+
+// v2 entry: takes the caller's per-row gapless flags (the v3 fast-path
+// split already computed them) so the two O(L) refpos scans per pair are
+// skipped for simple×simple pairs, and runs pairs on `nthreads` threads
+// (each row belongs to at most one pair — the khash pops pairs — so the
+// per-pair qual rewrites touch disjoint rows). fb_flags: uint8[p], set to
+// 1 for pairs needing the exact per-pair fallback. Returns 0 or -1.
+int mdtpu_arbitrate2(const uint8_t* seq, uint8_t* qual,
+                     const int64_t* refpos, const int32_t* strand,
+                     const int32_t* lq, const uint8_t* simple, int64_t n,
+                     int64_t l, const int64_t* a_idx, const int64_t* b_idx,
+                     int64_t p, uint8_t* fb_flags, int nthreads) {
+  if (l < 0 || n < 0 || p < 0 || !simple || !lq || !fb_flags) return -1;
+  const uint8_t* boost = boost_table();
+  if (nthreads < 1) nthreads = 1;
+  size_t workers = std::min<int64_t>(nthreads, std::max<int64_t>(p, 1));
+  std::vector<int> bad(workers, 0);
+  auto run = [&](size_t t) {
+    std::vector<uint8_t> qa_orig(l), qb_orig(l);
+    for (int64_t i = t; i < p; i += workers) {
+      fb_flags[i] = 0;
+      const int64_t a = a_idx[i], b = b_idx[i];
+      if (a < 0 || a >= n || b < 0 || b >= n) {
+        bad[t] = 1;
+        return;
+      }
+      if (((strand[a] - strand[b]) & 1) != 0) continue;
+      const int64_t* rp_a = refpos + a * l;
+      const int64_t* rp_b = refpos + b * l;
+      int64_t nv_a, nv_b;
+      if (simple[a]) {
+        nv_a = std::min<int64_t>(lq[a], l);
+      } else {
+        nv_a = gapless_nvalid(rp_a, l);
+      }
+      if (simple[b]) {
+        nv_b = std::min<int64_t>(lq[b], l);
+      } else {
+        nv_b = gapless_nvalid(rp_b, l);
+      }
+      if (nv_a < 0 || nv_b < 0) {
+        fb_flags[i] = 1;
+        continue;
+      }
+      const int64_t d =
+          (nv_b ? rp_b[0] : 0) - (nv_a ? rp_a[0] : 0);
+      uint8_t* qa = qual + a * l;
+      uint8_t* qb = qual + b * l;
+      const uint8_t* sa = seq + a * l;
+      const uint8_t* sb = seq + b * l;
+      const int64_t jlo = d > 0 ? d : 0;
+      const int64_t jhi = nv_a < nv_b + d ? nv_a : nv_b + d;
+      if (jlo >= jhi) continue;
+      std::memcpy(qa_orig.data() + jlo, qa + jlo, jhi - jlo);
+      const int64_t olo = jlo - d, ohi = jhi - d;
+      std::memcpy(qb_orig.data() + olo, qb + olo, ohi - olo);
+      for (int64_t j = jlo; j < jhi; ++j) {
+        const int64_t jo = j - d;
+        const uint8_t ba = sa[j], bb = sb[jo];
+        const int va = qa_orig[j], vb = qb_orig[jo];
+        if (ba != bb) {
+          if (va > vb && ba != 15) {
+            qa[j] = static_cast<uint8_t>(va - vb);
+            qb[jo] = 0;
+          } else if (vb > va && bb != 15) {
+            qa[j] = 0;
+            qb[jo] = static_cast<uint8_t>(vb - va);
+          } else {
+            qa[j] = 0;
+            qb[jo] = 0;
+          }
+        } else if (va > vb) {
+          qa[j] = boost[va];
+          qb[jo] = 0;
+        } else {
+          qa[j] = 0;
+          qb[jo] = boost[vb];
+        }
+      }
+    }
+  };
+  if (workers <= 1) {
+    run(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (size_t t = 0; t < workers; ++t) ts.emplace_back(run, t);
+    for (auto& th : ts) th.join();
+  }
+  for (size_t t = 0; t < workers; ++t)
+    if (bad[t]) return -1;
+  return 0;
 }
 
 }  // extern "C"

@@ -152,6 +152,17 @@ def compute_window_counters_host(cfg, batch, strand_arr, keep, ref_window,
         refpos = batch.refpos[kidx]
     st = strand_arr[kidx]
     a_idx, b_idx = sem.pair_mates_batch(batch, kidx)
+    if len(a_idx):
+        # Pairs whose reference spans don't intersect share no column, so
+        # cust_tweak_overlap_quality is a no-op on them (overlaps.c:54-119
+        # only rewrites shared positions); skip them up front — typically
+        # most pairs, and the arbitration scan is a per-pair O(L) cost.
+        pos_k = batch.pos[kidx]
+        end_k = batch.endpos[kidx]
+        touching = (pos_k[a_idx] < end_k[b_idx]) & \
+                   (pos_k[b_idx] < end_k[a_idx])
+        a_idx = np.asarray(a_idx)[touching]
+        b_idx = np.asarray(b_idx)[touching]
     fb = native.arbitrate(seq, qual, refpos, st, a_idx, b_idx)
     if fb is None:
         sem.arbitrate_overlaps(seq, qual, refpos, st, a_idx, b_idx)

@@ -142,6 +142,14 @@ def _load():
             ]
             lib.mdtpu_arbitrate64.restype = ctypes.c_int64
             lib.mdtpu_arbitrate64.argtypes = lib.mdtpu_arbitrate.argtypes
+            lib.mdtpu_arbitrate2.restype = ctypes.c_int
+            lib.mdtpu_arbitrate2.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int,
+            ]
             lib.mdtpu_pileup64.restype = ctypes.c_int
             lib.mdtpu_pileup64.argtypes = lib.mdtpu_pileup.argtypes
             lib.mdtpu_perread_pack.restype = ctypes.c_int
@@ -389,6 +397,39 @@ def arbitrate(seq, qual, refpos, strand_arr, a_idx, b_idx):
     if nfb < 0:
         return None
     return fb[:nfb]
+
+
+def arbitrate2(seq, qual, refpos, strand_arr, lq, simple, a_idx, b_idx):
+    """Threaded arbitration with caller-provided gapless flags (skips the
+    per-row refpos scans for simple pairs). Mutates qual in place. Returns
+    the fallback pair indices, or None when unsupported."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_v3b", False):
+        return None
+    if not (seq.flags.c_contiguous and qual.flags.c_contiguous
+            and seq.dtype == np.uint8 and qual.dtype == np.uint8
+            and refpos.dtype == np.int64 and refpos.flags.c_contiguous):
+        return None
+    strand = np.ascontiguousarray(strand_arr, np.int32)
+    lq = np.ascontiguousarray(lq, np.int32)
+    simple = np.ascontiguousarray(simple, np.uint8)
+    a_idx = np.ascontiguousarray(a_idx, np.int64)
+    b_idx = np.ascontiguousarray(b_idx, np.int64)
+    p = len(a_idx)
+    fb = np.zeros(p, np.uint8)
+    n, l = seq.shape
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.mdtpu_arbitrate2(ptr(seq), ptr(qual), ptr(refpos), ptr(strand),
+                              ptr(lq), ptr(simple), n, l, ptr(a_idx),
+                              ptr(b_idx), p, ptr(fb), _nthreads())
+    if rc != 0:
+        return None
+    return np.nonzero(fb)[0]
 
 
 def v3_flags(seq, refpos, pos, lq):

@@ -1430,13 +1430,29 @@ def dispatch_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
         from ..io import native
 
         if len(a_np):
-            fb = native.arbitrate(seq, qual, refpos, st, a_np, b_np)
+            # Non-intersecting mate spans share no column → arbitration is
+            # a no-op on them (overlaps.c:54-119); skip the O(L) per-pair
+            # scan for those pairs (typically most of them).
+            pos_k = batch.pos[kidx]
+            end_k = batch.endpos[kidx]
+            touching = (pos_k[a_np] < end_k[b_np]) & \
+                       (pos_k[b_np] < end_k[a_np])
+            a_t = np.asarray(a_np)[touching]
+            b_t = np.asarray(b_np)[touching]
+        else:
+            a_t = a_np
+            b_t = b_np
+        if len(a_t):
+            fb = native.arbitrate2(seq, qual, refpos, st, lq, simple,
+                                   a_t, b_t)
             if fb is None:
-                sem.arbitrate_overlaps(seq, qual, refpos, st, a_np, b_np)
+                fb = native.arbitrate(seq, qual, refpos, st, a_t, b_t)
+            if fb is None:
+                sem.arbitrate_overlaps(seq, qual, refpos, st, a_t, b_t)
             elif len(fb):
                 sem._arbitrate_pairs_loop(seq, qual, refpos, st,
-                                          np.asarray(a_np)[fb],
-                                          np.asarray(b_np)[fb])
+                                          np.asarray(a_t)[fb],
+                                          np.asarray(b_t)[fb])
         fin = _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
                                  xla_rows, ref_window, win_start,
                                  win_offset - win_start, W_fixed,

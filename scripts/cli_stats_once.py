@@ -23,9 +23,11 @@ def run(engine, warm=False):
     import tempfile
 
     from methyldackel_tpu import cli as mdcli
+    from methyldackel_tpu.utils.profiling import STATS
 
     outdir = tempfile.mkdtemp(prefix=f"mdtpu_stats_{engine}_")
     os.environ["MDTPU_ENGINE"] = engine
+    t_before = dict(STATS.t)
     t0 = time.perf_counter()
     c0 = cpu_now()
     rc = mdcli.main(["extract", fa, bam, "-o", os.path.join(outdir, "out")])
@@ -35,6 +37,10 @@ def run(engine, warm=False):
     tag = "warm" if warm else "timed"
     print(f"[{tag}] {engine}: wall={wall:.2f}s cpu={cpu:.2f}s "
           f"reads/s={1_000_000/wall:,.0f} util={cpu/wall:.2f}", flush=True)
+    for k in sorted(STATS.t):
+        d = STATS.t[k] - t_before.get(k, 0.0)
+        if d > 0.005:
+            print(f"    {k:<22s} {d:7.3f}s", flush=True)
 
 
 def main():

@@ -329,3 +329,45 @@ def test_v2_escape_hatch_still_exact(monkeypatch):
     got = make_device_backend(cfg)(cfg, copy.deepcopy(batch), st, keep,
                                    ref_ascii, 0, 0, W)
     np.testing.assert_array_equal(host, got)
+
+
+def test_native_arbitrate2_matches_oracle():
+    """The threaded, flag-assisted arbitration entry (mdtpu_arbitrate2)
+    must mutate quals exactly like the sequential oracle, including
+    fallback reporting for indel pairs."""
+    from methyldackel_tpu.io import native
+    from methyldackel_tpu.ops import semantics as sem
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(99)
+    N, L = 400, 80
+    pos = np.sort(rng.integers(0, 500, N)).astype(np.int64)
+    lq = rng.integers(0, L + 1, N).astype(np.int32)
+    refpos = np.full((N, L), -2, np.int64)
+    for i in range(N):
+        refpos[i, : lq[i]] = pos[i] + np.arange(lq[i])
+    # corrupt some rows into indel shapes
+    bad_rows = rng.choice(N, 30, replace=False)
+    for r in bad_rows:
+        if lq[r] > 4:
+            refpos[r, 3:lq[r]] += 2
+    seq = rng.integers(1, 16, (N, L)).astype(np.uint8)
+    qual = rng.integers(0, 60, (N, L)).astype(np.uint8)
+    st = rng.integers(1, 5, N).astype(np.int32)
+    a_idx = np.arange(0, N - 1, 2, dtype=np.int64)
+    b_idx = a_idx + 1
+    from methyldackel_tpu.parallel.device import _rows_gapless, _rows_no_eq_base
+
+    simple = _rows_gapless(refpos, pos, lq) & _rows_no_eq_base(seq, lq)
+
+    q_oracle = qual.copy()
+    sem.arbitrate_overlaps(seq, q_oracle, refpos, st, a_idx, b_idx)
+
+    q_nat = qual.copy()
+    fb = native.arbitrate2(seq, q_nat, refpos, st, lq, simple, a_idx, b_idx)
+    assert fb is not None
+    if len(fb):
+        sem._arbitrate_pairs_loop(seq, q_nat, refpos, st,
+                                  a_idx[fb], b_idx[fb])
+    np.testing.assert_array_equal(q_oracle, q_nat)
