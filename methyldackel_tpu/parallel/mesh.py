@@ -31,17 +31,20 @@ from . import device as dev
 from ..ops import semantics as sem
 
 
-def make_mesh(n_devices: int | None = None):
+def make_mesh(n_devices: int | None = None, sp: int | None = None):
     devices = jax.devices()
     n = n_devices if n_devices is not None else len(devices)
     devices = devices[:n]
     # Prefer a 2-D (dp, sp) layout when the device count allows it, so both
     # parallel axes are exercised; fall back to pure data parallelism.
-    sp = 1
-    for cand in (4, 2):
-        if n % cand == 0 and n // cand >= 2:
-            sp = cand
-            break
+    # An explicit `sp` overrides (the dryrun's sp-invariance sweep).
+    if sp is None:
+        sp = 1
+        for cand in (4, 2):
+            if n % cand == 0 and n // cand >= 2:
+                sp = cand
+                break
+    assert n % sp == 0, (n, sp)
     dp = n // sp
     return Mesh(np.array(devices).reshape(dp, sp), ("dp", "sp"))
 
@@ -108,7 +111,7 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def make_mesh_backend(cfg, n_devices=None):
+def make_mesh_backend(cfg, n_devices=None, sp=None):
     """Production extract compute backend over the (dp, sp) mesh —
     the multi-chip replacement for the reference's `-@ N` pthread pool
     (extract.c:1479-1484) selected with MDTPU_ENGINE=mesh.
@@ -133,7 +136,7 @@ def make_mesh_backend(cfg, n_devices=None):
     program. Output is bit-identical to the host path (uint32 counters;
     fixed reduction structure), enforced by tests/test_mesh_engine.py and
     __graft_entry__.dryrun_multichip."""
-    mesh = make_mesh(n_devices)
+    mesh = make_mesh(n_devices, sp=sp)
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     min_phred = int(cfg.minPhred)
