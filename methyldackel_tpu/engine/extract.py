@@ -495,9 +495,10 @@ def ensure_bam_index(bam: BamFile, path: str) -> None:
     import os
 
     from ..io.cram import StreamingCramFile
+    from ..io.sam import SamFile
 
-    if isinstance(bam, (CramFile, StreamingCramFile)):
-        return  # CRAM input: indexes by .crai / container scan, never .bai
+    if isinstance(bam, (CramFile, StreamingCramFile, SamFile)):
+        return  # CRAM indexes by .crai/container scan; SAM needs no index
     cands = [path + ".bai", os.path.splitext(path)[0] + ".bai"]
     if any(os.path.exists(c) for c in cands):
         return

@@ -1604,6 +1604,13 @@ def open_alignment(path: str, fasta=None):
         if force or big:
             return StreamingCramFile(path, fasta=fasta)
         return CramFile(path, fasta=fasta)
+    if magic[:2] != b"\x1f\x8b" or path.endswith(".sam.gz"):
+        # Not BGZF/gzip-framed (or explicitly gzipped SAM): htslib's
+        # hts_open auto-detects SAM text and the reference binary
+        # therefore accepts it (main.c:31); so do we.
+        from .sam import SamFile
+
+        return SamFile(path)
     from .bam import BamFile, StreamingBamFile
 
     if force or big:
