@@ -55,6 +55,11 @@ int64_t arbitrate_impl(const uint8_t* seq, uint8_t* qual, const RP* refpos,
                        const int64_t* a_idx, const int64_t* b_idx, int64_t p,
                        int64_t* fallback);
 
+template <typename RP>
+int arbitrate2_impl(const uint8_t*, uint8_t*, const RP*, const int32_t*,
+                    const int32_t*, const uint8_t*, int64_t, int64_t,
+                    const int64_t*, const int64_t*, int64_t, uint8_t*, int);
+
 }  // namespace
 
 extern "C" {
@@ -91,6 +96,31 @@ int mdtpu_arbitrate2(const uint8_t* seq, uint8_t* qual,
                      const int32_t* lq, const uint8_t* simple, int64_t n,
                      int64_t l, const int64_t* a_idx, const int64_t* b_idx,
                      int64_t p, uint8_t* fb_flags, int nthreads) {
+  return arbitrate2_impl(seq, qual, refpos, strand, lq, simple, n, l, a_idx,
+                         b_idx, p, fb_flags, nthreads);
+}
+
+// int32-refpos twin (the BAM decoder's window batches are int32)
+int mdtpu_arbitrate2_32(const uint8_t* seq, uint8_t* qual,
+                        const int32_t* refpos, const int32_t* strand,
+                        const int32_t* lq, const uint8_t* simple, int64_t n,
+                        int64_t l, const int64_t* a_idx,
+                        const int64_t* b_idx, int64_t p, uint8_t* fb_flags,
+                        int nthreads) {
+  return arbitrate2_impl(seq, qual, refpos, strand, lq, simple, n, l, a_idx,
+                         b_idx, p, fb_flags, nthreads);
+}
+
+}  // extern "C"
+
+namespace {
+
+template <typename RP>
+int arbitrate2_impl(const uint8_t* seq, uint8_t* qual,
+                    const RP* refpos, const int32_t* strand,
+                    const int32_t* lq, const uint8_t* simple, int64_t n,
+                    int64_t l, const int64_t* a_idx, const int64_t* b_idx,
+                    int64_t p, uint8_t* fb_flags, int nthreads) {
   if (l < 0 || n < 0 || p < 0 || !simple || !lq || !fb_flags) return -1;
   const uint8_t* boost = boost_table();
   if (nthreads < 1) nthreads = 1;
@@ -106,8 +136,8 @@ int mdtpu_arbitrate2(const uint8_t* seq, uint8_t* qual,
         return;
       }
       if (((strand[a] - strand[b]) & 1) != 0) continue;
-      const int64_t* rp_a = refpos + a * l;
-      const int64_t* rp_b = refpos + b * l;
+      const RP* rp_a = refpos + a * l;
+      const RP* rp_b = refpos + b * l;
       int64_t nv_a, nv_b;
       if (simple[a]) {
         nv_a = std::min<int64_t>(lq[a], l);
@@ -172,9 +202,6 @@ int mdtpu_arbitrate2(const uint8_t* seq, uint8_t* qual,
   return 0;
 }
 
-}  // extern "C"
-
-namespace {
 
 template <typename RP>
 int64_t arbitrate_impl(const uint8_t* seq, uint8_t* qual, const RP* refpos,

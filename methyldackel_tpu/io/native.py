@@ -143,7 +143,8 @@ def _load():
             lib.mdtpu_arbitrate64.restype = ctypes.c_int64
             lib.mdtpu_arbitrate64.argtypes = lib.mdtpu_arbitrate.argtypes
             lib.mdtpu_arbitrate2.restype = ctypes.c_int
-            lib.mdtpu_arbitrate2.argtypes = [
+            lib.mdtpu_arbitrate2_32.restype = ctypes.c_int
+            lib.mdtpu_arbitrate2.argtypes = lib.mdtpu_arbitrate2_32.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64,
@@ -410,7 +411,13 @@ def arbitrate2(seq, qual, refpos, strand_arr, lq, simple, a_idx, b_idx):
         return None
     if not (seq.flags.c_contiguous and qual.flags.c_contiguous
             and seq.dtype == np.uint8 and qual.dtype == np.uint8
-            and refpos.dtype == np.int64 and refpos.flags.c_contiguous):
+            and refpos.flags.c_contiguous):
+        return None
+    if refpos.dtype == np.int64:
+        entry = lib.mdtpu_arbitrate2
+    elif refpos.dtype == np.int32:
+        entry = lib.mdtpu_arbitrate2_32
+    else:
         return None
     strand = np.ascontiguousarray(strand_arr, np.int32)
     lq = np.ascontiguousarray(lq, np.int32)
@@ -424,9 +431,9 @@ def arbitrate2(seq, qual, refpos, strand_arr, lq, simple, a_idx, b_idx):
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
-    rc = lib.mdtpu_arbitrate2(ptr(seq), ptr(qual), ptr(refpos), ptr(strand),
-                              ptr(lq), ptr(simple), n, l, ptr(a_idx),
-                              ptr(b_idx), p, ptr(fb), _nthreads())
+    rc = entry(ptr(seq), ptr(qual), ptr(refpos), ptr(strand),
+               ptr(lq), ptr(simple), n, l, ptr(a_idx),
+               ptr(b_idx), p, ptr(fb), _nthreads())
     if rc != 0:
         return None
     return np.nonzero(fb)[0]
