@@ -8,6 +8,7 @@
 // difference between the device engine beating or losing to the host
 // engine. These kernels fuse them into two multithreaded passes.
 #include <cstdint>
+#include <cstring>
 #include <thread>
 #include <vector>
 #include <algorithm>
@@ -313,6 +314,62 @@ int mdtpu_mbias_pack(const uint8_t* seq, const uint8_t* qual,
         (strand[i] - 1) * 2 + ((flag[i] & 0x80) ? 1 : 0));
   });
   return 0;
+}
+
+// Exact khash mate pairing (custom_overlap_constructor, overlaps.c:121-139):
+// reads arrive in position-sorted order; the first eligible occurrence of a
+// NAME is stored, the second pops it as a pair (3rd re-enters, pairs with a
+// 4th, ...). Eligibility: (flag & 1) && !(flag & 12). Open-addressing table
+// keyed by the caller's 64-bit name hash with byte-exact name comparison on
+// every probe — hash collisions are handled like the dict they'd be in C,
+// so no fallback path is ever needed. Names live NUL-terminated in `blob`
+// at blob[off[p] .. off[p+1]-1] for parent row p = parent_idx[i].
+// Returns the number of pairs (out_a/out_b get LOCAL row indices in pop
+// order), or -1 on bad input.
+int64_t mdtpu_pair_mates(const uint64_t* hash, const uint16_t* flag,
+                         const uint8_t* blob, const int64_t* off,
+                         const int64_t* parent_idx, int64_t nk,
+                         int64_t* out_a, int64_t* out_b) {
+  if (!hash || !flag || !blob || !off || !parent_idx || !out_a || !out_b)
+    return -1;
+  uint64_t cap = 16;
+  while (cap < static_cast<uint64_t>(2 * nk)) cap <<= 1;
+  const uint64_t mask = cap - 1;
+  std::vector<int64_t> slots(cap, -1);  // -1 empty, -2 tombstone
+  int64_t np = 0;
+  for (int64_t i = 0; i < nk; ++i) {
+    const uint16_t f = flag[i];
+    if (!(f & 0x1) || (f & 12)) continue;
+    const uint64_t h = hash[i];
+    const int64_t p_i = parent_idx[i];
+    const uint8_t* name_i = blob + off[p_i];
+    const int64_t len_i = off[p_i + 1] - off[p_i];
+    uint64_t s = h & mask;
+    int64_t first_free = -1;
+    for (;;) {
+      const int64_t j = slots[s];
+      if (j == -1) {
+        slots[first_free >= 0 ? first_free : s] = i;
+        break;
+      }
+      if (j == -2) {
+        if (first_free < 0) first_free = static_cast<int64_t>(s);
+      } else {
+        const int64_t p_j = parent_idx[j];
+        const int64_t len_j = off[p_j + 1] - off[p_j];
+        if (len_j == len_i &&
+            std::memcmp(blob + off[p_j], name_i, len_i) == 0) {
+          out_a[np] = j;
+          out_b[np] = i;
+          ++np;
+          slots[s] = -2;  // pop
+          break;
+        }
+      }
+      s = (s + 1) & mask;
+    }
+  }
+  return np;
 }
 
 }  // extern "C"

@@ -161,6 +161,13 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ]
+            lib.mdtpu_pair_mates.restype = ctypes.c_int64
+            lib.mdtpu_pair_mates.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib._has_pair = True
             lib.mdtpu_mbias_pack.restype = ctypes.c_int
             lib.mdtpu_mbias_pack.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -398,6 +405,38 @@ def arbitrate(seq, qual, refpos, strand_arr, a_idx, b_idx):
     if nfb < 0:
         return None
     return fb[:nfb]
+
+
+def pair_mates(qname_hash, flag, blob, off, parent_idx):
+    """Exact dict-semantics mate pairing (overlaps.c:121-139) with inline
+    byte-exact name comparison (hash collisions handled like the khash, no
+    fallback). Returns (a_idx, b_idx) local row indices in pop order, or
+    None if the library isn't built."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_pair", False):
+        return None
+    qname_hash = np.ascontiguousarray(qname_hash, np.uint64)
+    flag = np.ascontiguousarray(flag, np.uint16)
+    off = np.ascontiguousarray(off, np.int64)
+    parent_idx = np.ascontiguousarray(parent_idx, np.int64)
+    blob = np.ascontiguousarray(np.frombuffer(blob, np.uint8)
+                                if isinstance(blob, (bytes, bytearray))
+                                else blob, np.uint8)
+    nk = len(qname_hash)
+    out_a = np.empty(nk // 2 + 1, np.int64)
+    out_b = np.empty(nk // 2 + 1, np.int64)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    np_pairs = lib.mdtpu_pair_mates(ptr(qname_hash), ptr(flag), ptr(blob),
+                                    ptr(off), ptr(parent_idx), nk,
+                                    ptr(out_a), ptr(out_b))
+    if np_pairs < 0:
+        return None
+    return out_a[:np_pairs].copy(), out_b[:np_pairs].copy()
 
 
 def arbitrate2(seq, qual, refpos, strand_arr, lq, simple, a_idx, b_idx):

@@ -249,9 +249,26 @@ def _pair_by_key(key, flag, order=None):
 
 def pair_mates_batch(batch, kidx):
     """pair_mates over a ReadBatch row subset, using the batch's vectorized
-    qname hashes when present (no Python string materialization)."""
+    qname hashes when present (no Python string materialization).
+
+    Blob-backed batches take the native open-addressing kernel
+    (csrc mdtpu_pair_mates): the true dict semantics with inline byte-exact
+    name comparison — collisions are resolved in place, never by falling
+    back, and the ~30 ms/window numpy group-sort disappears."""
     qn = batch.qname
     qh = getattr(batch, "qname_hash", None)
+    if qh is not None:
+        from ..io import native as _nat
+
+        parent = getattr(qn, "_parent", None)
+        sub_idx = getattr(qn, "_idx", None)
+        blob = getattr(parent, "_arr", None)
+        off = getattr(parent, "_off", None)
+        if blob is not None and off is not None and sub_idx is not None:
+            got = _nat.pair_mates(qh[kidx], np.asarray(batch.flag)[kidx],
+                                  blob, off, np.asarray(sub_idx)[kidx])
+            if got is not None:
+                return got
     if hasattr(qn, "verify_equal"):
         sub = qn[kidx]
     else:

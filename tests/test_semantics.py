@@ -279,3 +279,42 @@ def test_arbitrate_dense_matches_loop():
         q_loop = qual.copy()
         sem._arbitrate_pairs_loop(seq, q_loop, refpos, strand_arr, a_idx, b_idx)
         assert np.array_equal(q_fast, q_loop), f"trial {trial}"
+
+
+def test_native_pair_mates_matches_dict_loop():
+    """The native open-addressing pairing (csrc mdtpu_pair_mates) equals
+    the exact khash dict walk, including same-name re-entry (3rd+4th
+    occurrences), ineligible rows, and FORCED hash collisions (distinct
+    names given identical hashes must still pair by name)."""
+    from methyldackel_tpu.io import native
+    from methyldackel_tpu.ops import semantics as sem
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    names = ["a", "b", "a", "c", "b", "a", "a", "d", "d", "e"]
+    flags = np.array([0x63, 0x63, 0x93, 0x63, 0x93, 0x63, 0x93,
+                      0x63, 0x93, 0x4], np.uint16)
+    want_a, want_b = sem._pair_mates_loop(names, flags)
+
+    blob = b"".join(n.encode() + b"\x00" for n in names)
+    off = np.cumsum([0] + [len(n) + 1 for n in names]).astype(np.int64)
+    parent_idx = np.arange(len(names), dtype=np.int64)
+    # identical hashes for ALL rows: forces the kernel onto its
+    # name-comparison path for every probe
+    hashes = np.full(len(names), 7, np.uint64)
+    got = native.pair_mates(hashes, flags, blob, off, parent_idx)
+    assert got is not None
+    np.testing.assert_array_equal(want_a, got[0])
+    np.testing.assert_array_equal(want_b, got[1])
+
+    # distinct hashes too
+    hashes2 = (np.arange(len(names), dtype=np.uint64) * 2654435761) \
+        ^ np.uint64(123)
+    # same-name rows must share a hash for realism (kernel doesn't require
+    # it, but match the production property)
+    for i, n in enumerate(names):
+        hashes2[i] = hash(n) & 0xFFFFFFFFFFFFFFFF
+    got2 = native.pair_mates(hashes2, flags, blob, off, parent_idx)
+    np.testing.assert_array_equal(want_a, got2[0])
+    np.testing.assert_array_equal(want_b, got2[1])
