@@ -572,7 +572,11 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
             global_L = int(np.max(lq_all))
         if prewarm_fn is not None and global_L \
                 and _os.environ.get("MDTPU_PREWARM", "1") != "0":
-            threading.Thread(target=prewarm_fn, args=(global_L,),
+            # expected reads per window ≈ n_reads * (chunk + L) / genome
+            glen = max(1, sum(getattr(hdr, "lengths", []) or [1]))
+            est = int(bam.n_reads * min(1.0, (cfg.chunkSize + global_L)
+                                        / glen))
+            threading.Thread(target=prewarm_fn, args=(global_L, est),
                              daemon=True).start()
 
     def start_window(tid, lpos, lend):

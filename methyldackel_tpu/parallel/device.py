@@ -1847,16 +1847,27 @@ def make_device_backend(cfg):
         return dispatch(cfg, batch, strand_arr, keep, ref_window, win_offset,
                         win_start, win_end, rstrand).get()
 
-    def prewarm(read_len: int):
+    def prewarm(read_len: int, est_rows: int | None = None):
         """Compile + load the canonical v3 window program off the critical
-        path (weak r3 #5): seeds the shape-bucket floors to the canonical
-        production bucket and fires one dummy dispatch so the ~20-70 s
-        per-process executable load overlaps BAM decode and early window
-        prep instead of stalling the first readback. No-op on CPU (tests
-        would pay a pointless 131072-row compile)."""
+        path (weak r3 #5): seeds the shape-bucket floors to the production
+        bucket — sized from the input's expected reads-per-window when
+        known (padding every window to a fixed oversized bucket costs real
+        upload bytes; zero tails only partially dedupe in the tunnel) —
+        and fires one dummy dispatch so the ~20-70 s per-process
+        executable load overlaps BAM decode and early window prep instead
+        of stalling the first readback. No-op on CPU (tests would pay a
+        pointless six-figure-row compile)."""
         if interpret:
             return
-        floor_nb = int(os.environ.get("MDTPU_NB_FLOOR", 131072))
+        env_floor = os.environ.get("MDTPU_NB_FLOOR")
+        if env_floor is not None:
+            floor_nb = int(env_floor)
+        elif est_rows:
+            floor_nb = 256
+            while floor_nb < est_rows + 256:
+                floor_nb *= 2
+        else:
+            floor_nb = 131072
         _V3_HWM["Nb"] = max(_V3_HWM["Nb"], floor_nb)
         _V3_HWM["GMAX"] = max(_V3_HWM["GMAX"], 128)
         L = max(int(read_len), 1)
