@@ -941,12 +941,29 @@ def _fused_window_pregated_wide(blob_u8, meta_i32, woff_rel, hseq,
 
 _V32_STATICS = ("Nb", "Lq", "LP2", "L4", "ntiles", "T", "HALO_L", "LP", "K",
                 "GMAX", "W", "nbits", "ref_static", "HAS_HARD", "min_phred",
-                "SAT_BITS")
+                "NCAND", "SAT_BITS")
+
+
+def _nb_bucket(need: int, floor: int = 0) -> int:
+    """Row-count bucket: the pow2×{1, 1.25} ladder (256, 320, 512, 640,
+    1024, ...). Finer than pure powers of two — worst-case padding drops
+    from 2x to 1.25x, and padding is real upload bytes (zero tails only
+    partially dedupe in the tunnel) — while still coarse enough that a
+    run compiles only 1-2 programs (plus the process-global high-water
+    floor, which the caller passes in)."""
+    need = max(need, floor, 1)
+    b = 256
+    while True:
+        if b >= need:
+            return b
+        if b + b // 4 >= need:
+            return b + b // 4
+        b *= 2
 
 
 def _v32_core(blob_u8, meta_i32, woff_rel, hseq, hqual, hrefpos,
               hstrand, hkeep, *, Nb, Lq, LP2, L4, ntiles, T, HALO_L, LP, K,
-              GMAX, W, nbits, ref_static, HAS_HARD, min_phred):
+              GMAX, W, nbits, ref_static, HAS_HARD, min_phred, NCAND=0):
     """Shared trace of the 2-bit semantic window program: unpack 4
     codes/byte → barrel-shift phase alignment → 2-counter Pallas kernel →
     host-packed ref-mask epilogue (+ the dense hard-row path). Returns
@@ -986,6 +1003,18 @@ def _v32_core(blob_u8, meta_i32, woff_rel, hseq, hqual, hrefpos,
                            jnp.ones(hseq.shape, bool), ref_p, woff_rel,
                            jnp.int32(0), W, min_phred)  # [W, 4] uint32
         ch2 = ch2 + hc.T[:2]
+    if NCAND:
+        # Candidate-compacted readback: only ref-C/G positions are ever
+        # read by emit, so gather their counters into a [2, NCAND] block
+        # (~44% fewer readback bytes at 50% GC). The candidate indices are
+        # derived ON DEVICE from the uploaded ref bitmaps — no index
+        # upload (the r3 attempt's cost, see _fused_window_pregated's
+        # docstring). Host scatters back by its own candidate list.
+        both = isc | isg
+        shifts = np.arange(7, -1, -1, dtype=np.uint8)
+        mask = (((both[:, None] >> shifts[None, :]) & 1) != 0).reshape(-1)
+        idx = jnp.nonzero(mask[:W], size=NCAND, fill_value=0)[0]
+        ch2 = jnp.take(ch2, idx, axis=1)  # [2, NCAND]
     return ch2
 
 
@@ -1001,7 +1030,8 @@ def _fused_window_pregated2(*args, SAT_BITS, **statics):
 
 @functools.partial(jax.jit, static_argnames=_V32_STATICS[:-1])
 def _fused_window_pregated2_wide(*args, **statics):
-    return _v32_core(*args, **statics)
+    # overflow refetch: DENSE uint32 (rare; NCAND compaction off)
+    return _v32_core(*args, **{**statics, "NCAND": 0})
 
 
 # Readback width state: start with u8 (half the readback bytes); after the
@@ -1075,10 +1105,12 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
     if GMAX > max_gmax:
         return None
 
-    Nb = max(256, _V3_HWM["Nb"]) if not interpret else 256
-    while Nb < n + GMAX:
-        Nb *= 2
-    if not interpret:
+    if interpret:
+        Nb = 256
+        while Nb < n + GMAX:
+            Nb *= 2
+    else:
+        Nb = _nb_bucket(n + GMAX, _V3_HWM["Nb"])
         _V3_HWM["GMAX"] = GMAX
         _V3_HWM["Nb"] = Nb
     NCH = 4 if cfg.minOppositeDepth > 0 else 2
@@ -1213,6 +1245,7 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
     profile = _os.environ.get("MDTPU_PROFILE_DISPATCH") == "1"
     t0 = _time.perf_counter() if profile else 0.0
     sat_bits = _V3_SAT["bits"]
+    compact_idx = None  # set on the 2-bit path when NCAND > 0
     if use_2bit:
         nbits = wpad // 8
         # the window/ref frame shift is applied HERE, so the device needs
@@ -1229,10 +1262,21 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
             parts.append(ref_p)
             rs2 = ref_static
         aux_u8 = np.concatenate(parts)
+        # candidate-compacted readback: gather ref-C/G positions only.
+        # NCAND = 5/8 of the window covers any realistic GC fraction; a
+        # window with more candidates falls back to the dense program.
+        cand_bytes = np.bitwise_or(rb[0], rb[1])
+        cand_idx = np.nonzero(
+            np.unpackbits(cand_bytes)[:wpad])[0].astype(np.int64)
+        NCAND = _round_up(wpad * 5 // 8, 128)
+        if len(cand_idx) > NCAND:
+            NCAND = 0  # extraordinary GC: dense readback
+        else:
+            compact_idx = cand_idx
         statics = dict(Nb=Nb, Lq=Lq, LP2=LP2, L4=L4, ntiles=ntiles, T=T,
                        HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, W=wpad,
                        nbits=nbits, ref_static=rs2, HAS_HARD=HAS_HARD,
-                       min_phred=cfg.minPhred)
+                       min_phred=cfg.minPhred, NCAND=NCAND)
         program, program_wide = _fused_window_pregated2, \
             _fused_window_pregated2_wide
     else:
@@ -1287,7 +1331,13 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
         # emit's column reads become contiguous too; the [W, 4] view is
         # transpose-strided (no copy)
         cmaj = np.zeros((4, wpad), np.uint32)
-        cmaj[:NCH] = np.asarray(sel_h)
+        sel_np = np.asarray(sel_h)
+        if compact_idx is not None:
+            # compacted readback: scatter candidate counters back to their
+            # window positions (non-candidates stay 0 — never read)
+            cmaj[:NCH, compact_idx] = sel_np[:, : len(compact_idx)]
+        else:
+            cmaj[:NCH] = sel_np
         return cmaj.T[:W_fixed]
 
     return finalize

@@ -21,6 +21,8 @@ bit-identical.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -136,6 +138,19 @@ def make_mesh_backend(cfg, n_devices=None, sp=None):
     program. Output is bit-identical to the host path (uint32 counters;
     fixed reduction structure), enforced by tests/test_mesh_engine.py and
     __graft_entry__.dryrun_multichip."""
+    n_avail = (n_devices if n_devices is not None
+               else len(jax.devices()))
+    if n_avail == 1 and os.environ.get("MDTPU_MESH_FORCE") != "1":
+        # A (1,1) mesh is a degenerate sharding: every psum is an identity
+        # and shard_map only adds dispatch overhead (measured 17x slower
+        # than the v3 fast path on one chip, BENCH_r04 cli_mesh before
+        # this). Delegate to the single-chip engine; the true sharded path
+        # stays selected on real multi-device meshes and is validated on
+        # the virtual CPU mesh (tests/test_mesh_engine.py, dryrun).
+        # MDTPU_MESH_FORCE=1 restores the shard_map path for measurement.
+        from .device import make_device_backend
+
+        return make_device_backend(cfg)
     mesh = make_mesh(n_devices, sp=sp)
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
