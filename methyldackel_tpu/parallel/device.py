@@ -830,14 +830,14 @@ def _fused_window_wide(*args, **statics):
 
 _V3_STATICS = ("Nb", "Lh", "LP2", "L2", "ntiles", "T", "HALO_L", "LP", "K",
                "GMAX", "W", "ref_static", "NCH", "HAS_HARD", "min_phred",
-               "SAT_BITS")
+               "NCAND", "SAT_BITS")
 
 
 @functools.partial(jax.jit, static_argnames=_V3_STATICS)
 def _fused_window_pregated(blob_u8, meta_i32, woff_rel, hseq, hqual,
                            hrefpos, hstrand, hkeep, *, Nb, Lh, LP2, L2,
                            ntiles, T, HALO_L, LP, K, GMAX, W, ref_static,
-                           NCH, HAS_HARD, min_phred, SAT_BITS):
+                           NCH, HAS_HARD, min_phred, SAT_BITS, NCAND=0):
     """The v3 fast-window program for PRE-GATED reads. The host has already
     run mate-overlap arbitration (native kernel, bit-equal to the C) and
     zeroed the base code of every base with qual < minPhred, so this
@@ -893,6 +893,18 @@ def _fused_window_pregated(blob_u8, meta_i32, woff_rel, hseq, hqual,
                            jnp.int32(0), W, min_phred)  # [W, 4] uint32
         full = full + hc.T
     sel = full[:NCH]
+    if NCAND:
+        # candidate-compacted readback (see _v32_core): emit only reads
+        # counters at ref-C/G positions, and with minOppositeDepth > 0 the
+        # 4-channel values are exact at exactly those positions (the
+        # packed-readback contract). Indices derived on device; host
+        # scatters back by its own candidate list.
+        col = jax.lax.broadcasted_iota(jnp.int32, (W,), 0) - woff_rel
+        inb = (col >= 0) & (col < ref_static)
+        rb = jnp.where(inb, ref_p[jnp.clip(col, 0, ref_static - 1)], 0)
+        mask = (rb == np.uint8(REF_C)) | (rb == np.uint8(REF_G))
+        idx = jnp.nonzero(mask, size=NCAND, fill_value=0)[0]
+        sel = jnp.take(sel, idx, axis=1)
     if SAT_BITS == 8:
         overflow = jnp.any(sel > jnp.uint32(0xFF))
         return sel.astype(jnp.uint8), overflow
@@ -904,8 +916,10 @@ def _fused_window_pregated(blob_u8, meta_i32, woff_rel, hseq, hqual,
 def _fused_window_pregated_wide(blob_u8, meta_i32, woff_rel, hseq,
                                 hqual, hrefpos, hstrand, hkeep, *, Nb, Lh,
                                 LP2, L2, ntiles, T, HALO_L, LP, K, GMAX, W,
-                                ref_static, NCH, HAS_HARD, min_phred):
-    """Overflow refetch: the full uint32 [4, W] channels (rare)."""
+                                ref_static, NCH, HAS_HARD, min_phred,
+                                NCAND=0):
+    """Overflow refetch: the full uint32 [4, W] channels (rare; dense —
+    NCAND accepted for cache-key symmetry but unused)."""
     from ..ops import pileup_pallas as pk
 
     G = ntiles * K
@@ -1281,10 +1295,24 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
             _fused_window_pregated2_wide
     else:
         aux_u8 = np.concatenate([shp, ref_p])
+        # candidate compaction for the 4-channel readback too (emit reads
+        # the 4 channels at ref-C/G positions only; see the NCH contract)
+        rb4 = native.v3_refbits(ref_p, woff_rel, wpad)
+        NCAND = _round_up(wpad * 5 // 8, 128)
+        if rb4 is not None:
+            cand_idx = np.nonzero(
+                np.unpackbits(np.bitwise_or(rb4[0], rb4[1]))[:wpad]
+            )[0].astype(np.int64)
+            if len(cand_idx) > NCAND:
+                NCAND = 0
+            else:
+                compact_idx = cand_idx
+        else:
+            NCAND = 0
         statics = dict(Nb=Nb, Lh=Lh, LP2=LP2, L2=L2, ntiles=ntiles, T=T,
                        HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, W=wpad,
                        ref_static=ref_static, NCH=NCH, HAS_HARD=HAS_HARD,
-                       min_phred=cfg.minPhred)
+                       min_phred=cfg.minPhred, NCAND=NCAND)
         program, program_wide = _fused_window_pregated, \
             _fused_window_pregated_wide
     blob_u8 = np.concatenate([seqpack.reshape(-1), aux_u8])
