@@ -959,19 +959,18 @@ _V32_STATICS = ("Nb", "Lq", "LP2", "L4", "ntiles", "T", "HALO_L", "LP", "K",
 
 
 def _nb_bucket(need: int, floor: int = 0) -> int:
-    """Row-count bucket: the pow2×{1, 1.25} ladder (256, 320, 512, 640,
-    1024, ...). Finer than pure powers of two — worst-case padding drops
-    from 2x to 1.25x, and padding is real upload bytes (zero tails only
-    partially dedupe in the tunnel) — while still coarse enough that a
-    run compiles only 1-2 programs (plus the process-global high-water
-    floor, which the caller passes in)."""
+    """Row-count bucket: the pow2×{1, 1.25, 1.5, 1.75} ladder (256, 320,
+    384, 448, 512, ...; consecutive ratio ≤ 1.25). Finer than pure powers
+    of two — worst-case padding drops from 2x to 1.25x, and padding is
+    real upload bytes (zero tails only partially dedupe in the tunnel) —
+    while still coarse enough that a run compiles only 1-2 programs (plus
+    the process-global high-water floor, which the caller passes in)."""
     need = max(need, floor, 1)
     b = 256
     while True:
-        if b >= need:
-            return b
-        if b + b // 4 >= need:
-            return b + b // 4
+        for m in (b, b + b // 4, b + b // 2, b + 3 * (b // 4)):
+            if m >= need:
+                return m
         b *= 2
 
 

