@@ -576,8 +576,14 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
             glen = max(1, sum(getattr(hdr, "lengths", []) or [1]))
             est = int(bam.n_reads * min(1.0, (cfg.chunkSize + global_L)
                                         / glen))
-            threading.Thread(target=prewarm_fn, args=(global_L, est),
-                             daemon=True).start()
+            _prewarm_th = threading.Thread(target=prewarm_fn,
+                                           args=(global_L, est),
+                                           daemon=True)
+            _prewarm_th.start()
+        else:
+            _prewarm_th = None
+    else:
+        _prewarm_th = None
 
     def start_window(tid, lpos, lend):
         """Host prep + (async backends) device dispatch for one window.
@@ -793,5 +799,10 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
         from ..parallel.distributed import barrier_and_merge
 
         barrier_and_merge([p for p in dict.fromkeys(out_paths) if p])
+    if _prewarm_th is not None:
+        # The pre-warm only traces + enqueues (fire-and-forget), so this
+        # join is bounded by ~1-2 s of client-side lowering; letting a
+        # daemon thread die inside an XLA/gRPC call aborts the process.
+        _prewarm_th.join(timeout=120)
     STATS.report()
     return n_variant_positions

@@ -1956,10 +1956,14 @@ def make_device_backend(cfg):
         st = np.ones(n, np.int32)
         W_fixed = _round_up(max(int(cfg.chunkSize) + 16, 1), 512)
         ref_p = np.zeros(256, np.uint8)
-        fin = _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
-                                 np.zeros(n, bool), ref_p, 0, -2, W_fixed)
-        if fin is not None:
-            fin()
+        # Fire-and-forget: under axon, the dispatch alone triggers the
+        # server-side compile/executable load; blocking on the readback
+        # here would leave this thread inside a gRPC wait at process exit
+        # on short runs — pthread cancellation mid-C++-call aborts the
+        # process ("FATAL: exception not rethrown", caught by the r4
+        # hardware matrix). run_extract joins this thread before exiting.
+        _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
+                           np.zeros(n, bool), ref_p, 0, -2, W_fixed)
 
     compute.dispatch = dispatch
     compute.prewarm = prewarm
