@@ -585,9 +585,10 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
     else:
         _prewarm_th = None
 
-    def start_window(tid, lpos, lend):
+    def start_window(tid, lpos, lend, view=None):
         """Host prep + (async backends) device dispatch for one window.
-        Returns None (window skipped) or an opaque state for finish_window."""
+        Returns None (window skipped) or an opaque state for finish_window.
+        `view` is an optionally prefetched window_soa (decode overlap)."""
         name = hdr.names[tid]
         bed_state = BedState()
         if cfg.bed is not None:
@@ -611,7 +612,8 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
             return None
 
         with STATS.timer("window_prepare"):
-            view = bam.window_soa(tid, lpos, lend)
+            if view is None:
+                view = bam.window_soa(tid, lpos, lend)
             idx = view.overlapping(tid, lpos, lend)
             batch = view.batch(idx, width=global_L)
             strand_arr = sem.strand(batch.flag, batch.xg)
@@ -737,12 +739,49 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                for _ in range(n_getters)]
         for th in ths:
             th.start()
+        # Decode prefetch: the next window's BAM decode (BGZF inflate +
+        # record parse, GIL-released in the native kernels) runs in a
+        # side thread while the main thread preps/dispatches the current
+        # one. Matters most for streaming ingest, where the per-window
+        # decode otherwise serializes ahead of every dispatch (the r4
+        # soak's jax-vs-host gap).
+        pf_q: "_queue.Queue" = _queue.Queue(maxsize=2)
+        pf_stop = []
+
+        def prefetch_loop():
+            try:
+                for item in win_iter:
+                    view = bam.window_soa(item[1][0], item[1][1], item[1][2])
+                    while not pf_stop:
+                        try:
+                            pf_q.put((item, view), timeout=0.5)
+                            break
+                        except _queue.Full:
+                            continue
+                    if pf_stop:
+                        return
+            except BaseException as exc:  # noqa: BLE001 — rethrown below
+                failure.append(exc)
+            finally:
+                while not pf_stop:
+                    try:
+                        pf_q.put(None, timeout=0.5)
+                        return
+                    except _queue.Full:
+                        continue
+
+        pf_th = threading.Thread(target=prefetch_loop, daemon=True)
+        pf_th.start()
         seq_no = 0
         try:
-            for i, (tid, lpos, lend) in win_iter:
+            while True:
                 if failure:
                     break
-                state = start_window(tid, lpos, lend)
+                got = pf_q.get()
+                if got is None:
+                    break
+                (i, (tid, lpos, lend)), view = got
+                state = start_window(tid, lpos, lend, view=view)
                 if state is None:
                     continue
                 while not failure:
@@ -753,6 +792,13 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                     except _queue.Full:
                         continue
         finally:
+            pf_stop.append(True)
+            while not pf_q.empty():
+                try:
+                    pf_q.get_nowait()
+                except _queue.Empty:
+                    break
+            pf_th.join(timeout=60)
             while any(th.is_alive() for th in ths):
                 try:
                     q.put(None, timeout=0.5)
