@@ -29,6 +29,45 @@ def enable_persistent_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+    _strip_mosaic_locations()
+
+
+def _strip_mosaic_locations():
+    """Make Pallas programs' cache keys stable across source edits.
+
+    Mosaic serializes the kernel module WITH debug locations — including
+    the full Python call stack — into the stablehlo custom_call's
+    backend_config, where XLA's strip-debuginfo cache-key pass cannot
+    reach it. Any line shift anywhere on the dispatch path then mints a
+    new persistent-cache key, and each "new" program costs a full remote
+    compile through the tunnel (~30-200 s) in the first process that runs
+    it (measured: identical kernels lowered from two call sites produce
+    different backend_config bytes). This wraps the Mosaic ASM lowering
+    to round-trip the module through location-free ASM first. Opt out
+    with MDTPU_STRIP_MOSAIC_LOCS=0."""
+    if os.environ.get("MDTPU_STRIP_MOSAIC_LOCS", "1") == "0":
+        return
+    try:
+        import jax._src.tpu_custom_call as tcc
+
+        if getattr(tcc, "_mdtpu_locstrip", False):
+            return
+        orig = tcc._lower_mosaic_module_to_asm
+        ir = tcc.ir
+
+        def stripped(module, **kw):
+            try:
+                with module.context:
+                    asm = module.operation.get_asm(enable_debug_info=False)
+                    module = ir.Module.parse(asm)
+            except Exception:
+                pass  # fall back to the located module
+            return orig(module, **kw)
+
+        tcc._lower_mosaic_module_to_asm = stripped
+        tcc._mdtpu_locstrip = True
+    except Exception:
+        pass
 
 
 def _force_platform():
