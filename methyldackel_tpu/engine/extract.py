@@ -749,9 +749,26 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
         pf_stop = []
 
         def prefetch_loop():
+            nonlocal _prewarm_th
             try:
+                first = True
                 for item in win_iter:
                     view = bam.window_soa(item[1][0], item[1][1], item[1][2])
+                    if first:
+                        first = False
+                        if _prewarm_th is None and prewarm_fn is not None \
+                                and _os.environ.get("MDTPU_PREWARM", "1") \
+                                != "0":
+                            # streaming ingest: no file-global l_qseq, so
+                            # size the pre-warm from the first window
+                            lqv = getattr(view, "l_qseq", None)
+                            if lqv is not None and len(lqv):
+                                L0 = int(np.max(lqv))
+                                est0 = int(len(lqv) * 1.0)
+                                _prewarm_th = threading.Thread(
+                                    target=prewarm_fn, args=(L0, est0),
+                                    daemon=True)
+                                _prewarm_th.start()
                     while not pf_stop:
                         try:
                             pf_q.put((item, view), timeout=0.5)

@@ -1940,9 +1940,7 @@ def make_device_backend(cfg):
         if env_floor is not None:
             floor_nb = int(env_floor)
         elif est_rows:
-            floor_nb = 256
-            while floor_nb < est_rows + 256:
-                floor_nb *= 2
+            floor_nb = _nb_bucket(est_rows + 256)
         else:
             floor_nb = 131072
         _V3_HWM["Nb"] = max(_V3_HWM["Nb"], floor_nb)
