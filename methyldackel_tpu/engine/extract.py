@@ -520,7 +520,8 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
 
     fasta = FastaFile(cfg.FastaName)
     with STATS.timer("decode"):
-        bam = open_alignment(cfg.BAMName, fasta)
+        bam = open_alignment(cfg.BAMName, fasta,
+                             prefer_stream=compute_backend is not None)
     ensure_bam_index(bam, cfg.BAMName)
     hdr = bam.header
     STATS.count("reads_decoded", bam.n_reads)

@@ -1588,17 +1588,25 @@ class StreamingCramFile:
         return shell
 
 
-def open_alignment(path: str, fasta=None):
+def open_alignment(path: str, fasta=None, prefer_stream: bool | None = None):
     """Open a BAM or CRAM by magic bytes → AlignmentSoA (or the streaming
     window reader for huge inputs: decode-per-window keeps memory at
     O(one window's reads) instead of O(whole file); BAM needs the .bai,
-    CRAM uses the .crai or a container-header scan)."""
+    CRAM uses the .crai or a container-header scan). `prefer_stream`
+    lowers the size threshold (the device engine's decode-prefetch thread
+    overlaps per-window decode with dispatch, so streaming wins there far
+    below the memory-pressure threshold)."""
     import os
 
     with open(path, "rb") as fh:
         magic = fh.read(4)
     force = os.environ.get("MDTPU_STREAM") == "1"
+    if os.environ.get("MDTPU_STREAM") == "0":
+        prefer_stream = None  # explicit opt-out keeps whole-file decode
     threshold = int(os.environ.get("MDTPU_STREAM_THRESHOLD", 4 << 30))
+    if prefer_stream:
+        threshold = min(threshold, int(os.environ.get(
+            "MDTPU_DEVICE_STREAM_THRESHOLD", 256 << 20)))
     big = os.path.getsize(path) >= threshold
     if magic == CRAM_MAGIC:
         if force or big:
