@@ -685,6 +685,13 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
     if n_hosts > 1:
         win_iter = ((i, w) for i, w in win_iter if i % n_hosts == host_id)
     n_threads = max(1, int(getattr(cfg, "nThreads", 1) or 1))
+    if dispatch_fn is not None and compute_lock is None and n_threads > 1:
+        # Device engines: workers only do host prep + dispatch (compute is
+        # on the TPU), so workers beyond the host's core count cannot add
+        # throughput — they just preempt the drain/gRPC threads (measured:
+        # -@4 on 2 cores ran 0.6x of -@2). Output is thread-count
+        # invariant (tests), so capping is free.
+        n_threads = min(n_threads, max(1, _os.cpu_count() or 1))
     # Depth 6: deep enough that host prep keeps flowing through the one-time
     # per-process executable load (~20 s) of the first window's program;
     # each in-flight window holds ~10 MB (dispatch releases the batch).
