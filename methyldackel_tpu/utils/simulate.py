@@ -104,7 +104,8 @@ def simulate_batch(rng, ref_codes: np.ndarray, n_pairs: int, read_len: int,
 
 
 def write_synthetic_input(dirpath, n_pairs: int, read_len: int, glen: int,
-                          seed: int = 0, chrom: str = "chrSim"):
+                          seed: int = 0, chrom: str = "chrSim",
+                          gc: float = 0.42):
     """Write a coordinate-sorted synthetic WGBS BAM (+BAI) and its reference
     FASTA (+fai) for CLI-scale benchmarks — fully vectorized record
     serialization (n_pairs can be 500k+). Returns (fasta_path, bam_path)."""
@@ -113,7 +114,7 @@ def write_synthetic_input(dirpath, n_pairs: int, read_len: int, glen: int,
     import zlib
 
     rng = np.random.default_rng(seed)
-    ref_ascii, ref_codes = random_reference(rng, glen)
+    ref_ascii, ref_codes = random_reference(rng, glen, gc=gc)
     batch = simulate_batch_fast(rng, ref_codes, n_pairs, read_len)
     n = batch.n
     L = read_len

@@ -93,6 +93,15 @@ def gen_synthetic(d):
 
     fa, bam = write_synthetic_input(d, 20_000, 100, 1 << 20, seed=11)
     build_bai(BamFile(bam), bam + ".bai")
+    # GC-rich genome (75% GC): candidate count exceeds the compacted
+    # readback's NCAND budget, forcing the DENSE readback fallback —
+    # otherwise hardware-uncovered.
+    fa_gc, bam_gc = write_synthetic_input(
+        os.path.join(d, "gc"), 20_000, 100, 1 << 20, seed=13, gc=0.75)
+    build_bai(BamFile(bam_gc), bam_gc + ".bai")
+    import shutil as _sh
+    for p in (fa_gc, fa_gc + ".fai", bam_gc, bam_gc + ".bai"):
+        _sh.copy(p, os.path.join(d, "gc_" + os.path.basename(p)))
     with open(os.path.join(d, "regions.bed"), "w") as fh:
         fh.write("chrSim\t1000\t200000\t.\t0\t+\n")
         fh.write("chrSim\t300000\t500000\t.\t0\t-\n")
@@ -100,6 +109,9 @@ def gen_synthetic(d):
     return [
         ("synthetic40k", [os.path.basename(fa), os.path.basename(bam),
                           "-o", "vs1"], ["vs1_CpG.bedGraph"]),
+        ("gc_rich_dense", ["gc_" + os.path.basename(fa),
+                           "gc_" + os.path.basename(bam),
+                           "-o", "vs4"], ["vs4_CpG.bedGraph"]),
         ("bed_regions", ["-l", "regions.bed", os.path.basename(fa),
                          os.path.basename(bam), "-o", "vs2"],
          ["vs2_CpG.bedGraph"]),
