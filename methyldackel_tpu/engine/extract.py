@@ -571,6 +571,12 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
         lq_all = getattr(bam, "l_qseq", None)
         if lq_all is not None and len(lq_all):
             global_L = int(np.max(lq_all))
+            if global_L > 256:
+                # a single long read would otherwise force EVERY window's
+                # batch over the v3 fast path's L cap (it bails at L > 256)
+                # and onto the slow dense path; long-read windows can mint
+                # their own (rare) shape buckets instead
+                global_L = None
         if prewarm_fn is not None and global_L \
                 and _os.environ.get("MDTPU_PREWARM", "1") != "0":
             # expected reads per window ≈ n_reads * (chunk + L) / genome
@@ -723,11 +729,26 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
         pending: dict = {}
         next_emit = [0]
 
+        def repost_shutdown():
+            # Non-blocking propagation: if the queue is full (main refilled
+            # the slot before we could), DROP an item to make room — we are
+            # shutting down (or failing) and undrained windows are moot.
+            # A blocking put here deadlocked MDTPU_GETTERS=1 shutdown.
+            while True:
+                try:
+                    q.put_nowait(None)
+                    return
+                except _queue.Full:
+                    try:
+                        q.get_nowait()
+                    except _queue.Empty:
+                        pass
+
         def drain_loop():
             while True:
                 item = q.get()
                 if item is None:
-                    q.put(None)  # propagate shutdown to sibling getters
+                    repost_shutdown()  # propagate to sibling getters
                     return
                 seq_no, j, s = item
                 try:
@@ -740,7 +761,7 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                             next_emit[0] += 1
                 except BaseException as exc:  # noqa: BLE001 — rethrown below
                     failure.append(exc)
-                    q.put(None)
+                    repost_shutdown()
                     return
 
         ths = [threading.Thread(target=drain_loop, daemon=True)

@@ -388,7 +388,9 @@ def make_perread_backend(cfg):
             Nb *= 2
         _PERREAD_HWM["Nb"] = Nb
         packed = None
-        if _native.available():
+        # L cap = the pack kernel's row-temp width (it rejects wider rows
+        # with rc=-2; long-read inputs take the exact host walker)
+        if _native.available() and L <= 1020:
             is_c = rw == REF_C
             is_g = rw == REF_G
             dirv = np.zeros(len(rw), np.int8)
@@ -428,35 +430,34 @@ def _perread_legacy(cfg, seq, qual, pos, lq, strand_arr, ref_window,
                     seq_start, seq_len, min_phred):
     """The round-3 full-upload device walker (fallback when the native
     pack kernel isn't built)."""
-    if True:
-        n, L = seq.shape
-        Nb = 256
-        while Nb < n:
-            Nb *= 2
-        Lb = 32
-        while Lb < L:
-            Lb *= 2
-        ref_static = _round_up(max(int(cfg.chunkSize) + 10064, seq_len), 4096)
-        ref_p = np.zeros(ref_static, np.uint8)
-        ref_p[:seq_len] = ref_window[:seq_len]
+    n, L = seq.shape
+    Nb = 256
+    while Nb < n:
+        Nb *= 2
+    Lb = 32
+    while Lb < L:
+        Lb *= 2
+    ref_static = _round_up(max(int(cfg.chunkSize) + 10064, seq_len), 4096)
+    ref_p = np.zeros(ref_static, np.uint8)
+    ref_p[:seq_len] = ref_window[:seq_len]
 
-        def padr(x, fill=0):
-            out = np.full((Nb, Lb) if x.ndim == 2 else (Nb,), fill, x.dtype)
-            if x.ndim == 2:
-                out[:n, :L] = x
-            else:
-                out[:n] = x
-            return out
+    def padr(x, fill=0):
+        out = np.full((Nb, Lb) if x.ndim == 2 else (Nb,), fill, x.dtype)
+        if x.ndim == 2:
+            out[:n, :L] = x
+        else:
+            out[:n] = x
+        return out
 
-        nm, nu = perread_device(
-            jnp.asarray(padr(seq)), jnp.asarray(padr(qual)),
-            jnp.asarray(padr(np.asarray(pos, np.int64).astype(np.int32))),
-            jnp.asarray(padr(np.asarray(lq, np.int32))),
-            jnp.asarray(padr(strand_arr.astype(np.int32), 1)),
-            jnp.asarray(ref_p), jnp.int32(seq_start), jnp.int32(seq_len),
-            min_phred=min_phred)
-        return (np.asarray(jax.device_get(nm))[:n].astype(np.int64),
-                np.asarray(jax.device_get(nu))[:n].astype(np.int64))
+    nm, nu = perread_device(
+        jnp.asarray(padr(seq)), jnp.asarray(padr(qual)),
+        jnp.asarray(padr(np.asarray(pos, np.int64).astype(np.int32))),
+        jnp.asarray(padr(np.asarray(lq, np.int32))),
+        jnp.asarray(padr(strand_arr.astype(np.int32), 1)),
+        jnp.asarray(ref_p), jnp.int32(seq_start), jnp.int32(seq_len),
+        min_phred=min_phred)
+    return (np.asarray(jax.device_get(nm))[:n].astype(np.int64),
+            np.asarray(jax.device_get(nu))[:n].astype(np.int64))
 
 
 # mbias v3 device reduction: 16 masked row-reductions over host-packed
@@ -558,44 +559,43 @@ def _mbias_legacy(cfg, seq, qual, refpos, strand_arr, flag, keep_base,
                   max_len, min_phred):
     """The round-3 full-upload device program (BED windows and no-native
     fallback)."""
-    if True:
-        n, L = seq.shape
-        Nb = 256
-        while Nb < n:
-            Nb *= 2
-        Lb = 32
-        while Lb < L:
-            Lb *= 2
-        ref_static = _round_up(max(int(cfg.chunkSize) + 16, len(ref_window)),
-                               4096)
-        # End-padding with 0 preserves the C's truncated-context semantics:
-        # byte 0 is neither C nor G, so CpG/CHG degrade to CHH exactly as a
-        # short fetch would (common.c:49-82).
-        ref_p = np.zeros(ref_static, np.uint8)
-        ref_p[: len(ref_window)] = ref_window
+    n, L = seq.shape
+    Nb = 256
+    while Nb < n:
+        Nb *= 2
+    Lb = 32
+    while Lb < L:
+        Lb *= 2
+    ref_static = _round_up(max(int(cfg.chunkSize) + 16, len(ref_window)),
+                           4096)
+    # End-padding with 0 preserves the C's truncated-context semantics:
+    # byte 0 is neither C nor G, so CpG/CHG degrade to CHH exactly as a
+    # short fetch would (common.c:49-82).
+    ref_p = np.zeros(ref_static, np.uint8)
+    ref_p[: len(ref_window)] = ref_window
 
-        def padr(x, fill=0):
-            out = np.full((Nb, Lb) if x.ndim == 2 else (Nb,), fill, x.dtype)
-            if x.ndim == 2:
-                out[:n, :L] = x
-            else:
-                out[:n] = x
-            return out
+    def padr(x, fill=0):
+        out = np.full((Nb, Lb) if x.ndim == 2 else (Nb,), fill, x.dtype)
+        if x.ndim == 2:
+            out[:n, :L] = x
+        else:
+            out[:n] = x
+        return out
 
-        out = mbias_device(
-            jnp.asarray(padr(seq)), jnp.asarray(padr(qual)),
-            jnp.asarray(padr(refpos.astype(np.int32), -2)),
-            jnp.asarray(padr(strand_arr.astype(np.int32), 1)),
-            jnp.asarray(padr(np.asarray(flag).astype(np.uint16))),
-            jnp.asarray(padr(keep_base, False)), jnp.asarray(ref_p),
-            jnp.int32(win_offset), jnp.int32(win_start), jnp.int32(win_end),
-            keep_ctx=tuple(bool(k) for k in keep_ctx), min_phred=min_phred)
-        out = np.asarray(jax.device_get(out))
-        if Lb >= max_len:
-            return out[..., :max_len]
-        grown = np.zeros((4, 2, 2, max_len), np.uint32)
-        grown[..., :Lb] = out
-        return grown
+    out = mbias_device(
+        jnp.asarray(padr(seq)), jnp.asarray(padr(qual)),
+        jnp.asarray(padr(refpos.astype(np.int32), -2)),
+        jnp.asarray(padr(strand_arr.astype(np.int32), 1)),
+        jnp.asarray(padr(np.asarray(flag).astype(np.uint16))),
+        jnp.asarray(padr(keep_base, False)), jnp.asarray(ref_p),
+        jnp.int32(win_offset), jnp.int32(win_start), jnp.int32(win_end),
+        keep_ctx=tuple(bool(k) for k in keep_ctx), min_phred=min_phred)
+    out = np.asarray(jax.device_get(out))
+    if Lb >= max_len:
+        return out[..., :max_len]
+    grown = np.zeros((4, 2, 2, max_len), np.uint32)
+    grown[..., :Lb] = out
+    return grown
 
 
 def arbitrate_prealigned(seq_a, qual_a, aligned_pos, strand, flag, max_shift_blocks):
@@ -1934,8 +1934,8 @@ def make_device_backend(cfg):
         executable load overlaps BAM decode and early window prep instead
         of stalling the first readback. No-op on CPU (tests would pay a
         pointless six-figure-row compile)."""
-        if interpret:
-            return
+        if interpret or read_len > 256:
+            return  # L > 256 windows bypass the v3 fast path entirely
         env_floor = os.environ.get("MDTPU_NB_FLOOR")
         if env_floor is not None:
             floor_nb = int(env_floor)

@@ -107,16 +107,22 @@ def merge_shards(out_path: str) -> int:
             shards.append((int(m.group(2)), p))
     shards.sort()
     n = 0
-    # Exclusive merger lock (O_EXCL lockfile): a second concurrent merger
-    # bails out instead of interleaving appends into out_path. (The rename
-    # claim below only guarantees each shard is consumed once; it cannot
-    # order two writers' appends. In a correctly configured job only host 0
-    # merges — the _force_platform pin in init_distributed is what prevents
-    # the double-merge — so this lock is a belt-and-braces guard.)
+    # Exclusive merger lock (flock, auto-released by the kernel if the
+    # merger dies — an O_EXCL lockfile would wedge every future merge
+    # after a crash): a second concurrent merger bails out instead of
+    # interleaving appends into out_path. (The rename claim below only
+    # guarantees each shard is consumed once; it cannot order two writers'
+    # appends. In a correctly configured job only host 0 merges — the
+    # _force_platform pin in init_distributed is what prevents the
+    # double-merge — so this lock is a belt-and-braces guard.)
+    import fcntl
+
     lock_path = out_path + ".merge.lock"
+    lock_fd = os.open(lock_path, os.O_CREAT | os.O_WRONLY)
     try:
-        lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        os.close(lock_fd)
         return 0
     try:
         with open(out_path, "a") as out:
@@ -133,8 +139,9 @@ def merge_shards(out_path: str) -> int:
                 os.unlink(claimed)
                 n += 1
     finally:
+        # closing releases the flock; the (empty) lockfile stays — safe to
+        # leave, and unlinking would race a concurrent locker
         os.close(lock_fd)
-        os.unlink(lock_path)
     return n
 
 

@@ -96,6 +96,7 @@ def gen_synthetic(d):
     # GC-rich genome (75% GC): candidate count exceeds the compacted
     # readback's NCAND budget, forcing the DENSE readback fallback —
     # otherwise hardware-uncovered.
+    os.makedirs(os.path.join(d, "gc"), exist_ok=True)
     fa_gc, bam_gc = write_synthetic_input(
         os.path.join(d, "gc"), 20_000, 100, 1 << 20, seed=13, gc=0.75)
     build_bai(BamFile(bam_gc), bam_gc + ".bai")
