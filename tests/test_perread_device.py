@@ -126,3 +126,44 @@ def test_perread_v3_lowq_rows_exact():
                                     len(ref_ascii))
     assert np.array_equal(want[0], got[0])
     assert np.array_equal(want[1], got[1])
+
+
+def test_perread_long_reads_fall_back_exactly():
+    """Review r4: reads wider than the pack kernel's row temp (1024) must
+    take the exact fallback, not silently tally zero (the kernel now
+    rejects over-wide rows with rc=-2 and the backend pre-guards)."""
+    import numpy as np
+    from methyldackel_tpu.io import native
+    from methyldackel_tpu.ops import semantics as sem
+    from methyldackel_tpu.parallel.device import make_perread_backend
+    from methyldackel_tpu.engine.perread import process_reads_gapless
+    from methyldackel_tpu.config import Config
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(5)
+    L = 1100  # ONT/PacBio-scale
+    glen = 4000
+    ref = rng.choice(np.frombuffer(b"ACGT", np.uint8), glen)
+    n = 6
+    pos = rng.integers(0, glen - L - 1, n).astype(np.int64)
+    code_of = np.zeros(256, np.uint8)
+    for b, c in ((65, 1), (67, 2), (71, 4), (84, 8)):
+        code_of[b] = c
+    seq = code_of[ref[pos[:, None] + np.arange(L)[None, :]]]
+    qual = np.full((n, L), 30, np.uint8)
+    lq = np.full(n, L, np.int32)
+    st = np.ones(n, np.int32)
+    cfg = Config()
+    cfg.chunkSize = glen
+    want = process_reads_gapless(cfg, seq, qual, pos, lq, st, ref, 0, glen)
+    got = make_perread_backend(cfg)(seq, qual, pos, lq, st, ref, 0, glen)
+    assert np.array_equal(want[0], got[0]) and np.array_equal(want[1], got[1])
+    assert int(np.asarray(want[0]).sum()) > 0  # the reads DO have calls
+
+    # and the kernel itself refuses over-wide rows instead of zero-filling
+    dirv = np.zeros(glen, np.int8)
+    res = native.perread_pack(seq, qual, np.arange(n, dtype=np.int64), pos,
+                              lq, st, dirv, 0, glen, (L + 3) // 4, n, 5)
+    assert res is None
