@@ -102,7 +102,8 @@ def gen_synthetic(d):
     build_bai(BamFile(bam_gc), bam_gc + ".bai")
     import shutil as _sh
     for p in (fa_gc, fa_gc + ".fai", bam_gc, bam_gc + ".bai"):
-        _sh.copy(p, os.path.join(d, "gc_" + os.path.basename(p)))
+        if os.path.exists(p):
+            _sh.copy(p, os.path.join(d, "gc_" + os.path.basename(p)))
     with open(os.path.join(d, "regions.bed"), "w") as fh:
         fh.write("chrSim\t1000\t200000\t.\t0\t+\n")
         fh.write("chrSim\t300000\t500000\t.\t0\t-\n")
