@@ -378,8 +378,9 @@ def bench_subcommands(n_pairs, read_len, reps):
     for cmd, key in (("mbias", "mbias"), ("perRead", "perread")):
         run_sub(cmd, fa, bam, "jax")  # warm device programs
         times = {"jax": [], "host": []}
-        for _ in range(reps):
-            for eng in ("jax", "host"):
+        for rep in range(reps):
+            pair = ("jax", "host") if rep % 2 == 0 else ("host", "jax")
+            for eng in pair:
                 times[eng].append(run_sub(cmd, fa, bam, eng))
         out[f"{key}_reads_per_s"] = round(n / float(np.median(times["jax"])), 1)
         out[f"{key}_host_reads_per_s"] = round(
@@ -455,8 +456,13 @@ def main():
             if eng != "host":
                 run_cli(fa, bam, eng)  # warm: compiles/executable loads
         times = {e: [] for e in engines}
-        for _ in range(reps):
-            for eng in engines:
+        for rep in range(reps):
+            # rotate the order each rep: engine medians were biased by
+            # POSITION (the run after the host engine's 2-core native burn
+            # consistently sampled a depressed CPU state — observed as the
+            # delegated mesh path medianing 1.7x the identical jax path)
+            order = engines[rep % len(engines):] + engines[: rep % len(engines)]
+            for eng in order:
                 times[eng].append(run_cli(fa, bam, eng))
         cli_n = 2 * cli_pairs
         result["cli_reads_per_s"] = round(cli_n / float(np.median(times[dev_engine])), 1)

@@ -23,9 +23,11 @@ def main():
     _d, fa, bam = make_cli_input(n_pairs, 150, 1 << 23)
     run_cli(fa, bam, "jax")  # warm: compiles / executable loads
     rows = []
-    # interleave engines per thread count (this host's CPU speed drifts)
-    for threads in (1, 2, 4):
-        for engine in ("jax", "host"):
+    # interleave engines per thread count (this host's CPU speed drifts);
+    # alternate order to cancel position bias (see bench.py)
+    for ti, threads in enumerate((1, 2, 4)):
+        for engine in (("jax", "host") if ti % 2 == 0
+                       else ("host", "jax")):
             rps, n = bench_cli(n_pairs, 150, 1 << 23, engine=engine,
                                threads=threads)
             rows.append({"engine": engine, "threads": threads,
