@@ -404,8 +404,14 @@ def compress(raw: bytes, flags: int = 0) -> bytes:
 
 
 def uncompress(stream: bytes, ulen: int | None = None) -> bytes:
-    """Decode a full rANS Nx16 stream. `ulen` is required iff NOSZ."""
-    out, _p = _uncompress_at(stream, 0, ulen)
+    """Decode a full rANS Nx16 stream. `ulen` is required iff NOSZ.
+    Corrupt/truncated streams raise ValueError (the CRAM block layer's
+    CRC normally rejects them first)."""
+    try:
+        out, _p = _uncompress_at(stream, 0, ulen)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"ransnx16: truncated or corrupt stream ({exc})") \
+            from exc
     return out
 
 
@@ -416,6 +422,9 @@ def _uncompress_at(buf: bytes, p: int, ulen=None) -> tuple[bytes, int]:
         ulen, p = read_uint7(buf, p)
     if ulen is None:
         raise ValueError("ransnx16: NOSZ stream needs an external size")
+    if ulen > 1 << 31:
+        # allocation guard: a flipped size byte must not demand petabytes
+        raise ValueError(f"ransnx16: implausible uncompressed size {ulen}")
     if flags & STRIPE:
         X = buf[p]
         p += 1

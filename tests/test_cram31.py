@@ -122,3 +122,26 @@ def test_unsupported_31_codec_error_is_actionable():
         _decompress(7, b"\x00", 1)
     with pytest.raises(ValueError, match="arithmetic"):
         _decompress(6, b"\x00", 1)
+
+
+def test_ransnx16_corrupt_streams_raise_valueerror():
+    """Truncated/corrupted streams must raise ValueError (never IndexError,
+    hangs, or huge allocations) — the CRAM block CRC normally rejects them
+    first, but the codec's own failure mode should be clean."""
+    rng = np.random.default_rng(0)
+    raw = bytes(rng.integers(0, 64, 3000, dtype=np.uint8))
+    for fl in (0, rx.ORDER1, rx.PACK, rx.RLE, rx.STRIPE):
+        enc = bytearray(rx.compress(raw, fl))
+        for trial in range(40):
+            e = bytearray(enc)
+            op = trial % 3
+            if op == 0 and len(e) > 4:
+                del e[int(rng.integers(1, len(e))):]
+            elif op == 1:
+                e[int(rng.integers(0, len(e)))] ^= 0xFF
+            else:
+                e[int(rng.integers(0, len(e)))] = int(rng.integers(0, 256))
+            try:
+                rx.uncompress(bytes(e))
+            except ValueError:
+                pass  # the only acceptable failure mode
