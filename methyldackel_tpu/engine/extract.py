@@ -152,17 +152,8 @@ def compute_window_counters_host(cfg, batch, strand_arr, keep, ref_window,
         refpos = batch.refpos[kidx]
     st = strand_arr[kidx]
     a_idx, b_idx = sem.pair_mates_batch(batch, kidx)
-    if len(a_idx):
-        # Pairs whose reference spans don't intersect share no column, so
-        # cust_tweak_overlap_quality is a no-op on them (overlaps.c:54-119
-        # only rewrites shared positions); skip them up front — typically
-        # most pairs, and the arbitration scan is a per-pair O(L) cost.
-        pos_k = batch.pos[kidx]
-        end_k = batch.endpos[kidx]
-        touching = (pos_k[a_idx] < end_k[b_idx]) & \
-                   (pos_k[b_idx] < end_k[a_idx])
-        a_idx = np.asarray(a_idx)[touching]
-        b_idx = np.asarray(b_idx)[touching]
+    a_idx, b_idx = sem.touching_pairs(batch.pos[kidx], batch.endpos[kidx],
+                                      a_idx, b_idx)
     fb = native.arbitrate(seq, qual, refpos, st, a_idx, b_idx)
     if fb is None:
         sem.arbitrate_overlaps(seq, qual, refpos, st, a_idx, b_idx)
@@ -793,9 +784,9 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                             lqv = getattr(view, "l_qseq", None)
                             if lqv is not None and len(lqv):
                                 L0 = int(np.max(lqv))
-                                est0 = int(len(lqv) * 1.0)
                                 _prewarm_th = threading.Thread(
-                                    target=prewarm_fn, args=(L0, est0),
+                                    target=prewarm_fn,
+                                    args=(L0, len(lqv)),
                                     daemon=True)
                                 _prewarm_th.start()
                     while not pf_stop:

@@ -23,14 +23,11 @@ from .bam import AlignmentSoA, BamHeader, _expand_cigar
 _CIGAR_OPS = "MIDNSHP=X"
 _OP2CODE = {c: i for i, c in enumerate(_CIGAR_OPS)}
 
-# ASCII base → BAM 4-bit code (=ACMGRSVTWYHKDBN)
-_SEQ_CODE = np.zeros(256, np.uint8)
-for _i, _c in enumerate(b"=ACMGRSVTWYHKDBN"):
-    _SEQ_CODE[_c] = _i
-    if 65 <= _c <= 90:
-        _SEQ_CODE[_c + 32] = _i
-_SEQ_CODE[ord("n")] = 15
-_SEQ_CODE[ord("u")] = 8  # U → T
+# ASCII base → BAM 4-bit code: the CRAM reader's table plus SAM's U→T
+from .cram import _ASCII2CODE
+
+_SEQ_CODE = _ASCII2CODE.copy()
+_SEQ_CODE[ord("u")] = 8  # U → T (RNA-style SAM)
 _SEQ_CODE[ord("U")] = 8
 
 

@@ -247,6 +247,18 @@ def _pair_by_key(key, flag, order=None):
     return a_rows[emit_order], b_rows[emit_order]
 
 
+def touching_pairs(pos, endpos, a_idx, b_idx):
+    """Subset of mate pairs whose reference spans intersect. Pairs with
+    disjoint spans share no column, so cust_tweak_overlap_quality is a
+    no-op on them (overlaps.c:54-119 only rewrites shared positions) —
+    callers skip the O(L) per-pair arbitration scan for those (typically
+    most pairs). Returns (a_idx, b_idx) filtered, exact."""
+    if not len(a_idx):
+        return a_idx, b_idx
+    touching = (pos[a_idx] < endpos[b_idx]) & (pos[b_idx] < endpos[a_idx])
+    return np.asarray(a_idx)[touching], np.asarray(b_idx)[touching]
+
+
 def pair_mates_batch(batch, kidx):
     """pair_mates over a ReadBatch row subset, using the batch's vectorized
     qname hashes when present (no Python string materialization).

@@ -1506,19 +1506,8 @@ def dispatch_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
         # in-place arbitration never touches the caller's batch.
         from ..io import native
 
-        if len(a_np):
-            # Non-intersecting mate spans share no column → arbitration is
-            # a no-op on them (overlaps.c:54-119); skip the O(L) per-pair
-            # scan for those pairs (typically most of them).
-            pos_k = batch.pos[kidx]
-            end_k = batch.endpos[kidx]
-            touching = (pos_k[a_np] < end_k[b_np]) & \
-                       (pos_k[b_np] < end_k[a_np])
-            a_t = np.asarray(a_np)[touching]
-            b_t = np.asarray(b_np)[touching]
-        else:
-            a_t = a_np
-            b_t = b_np
+        a_t, b_t = sem.touching_pairs(batch.pos[kidx], batch.endpos[kidx],
+                                      a_np, b_np)
         if len(a_t):
             fb = native.arbitrate2(seq, qual, refpos, st, lq, simple,
                                    a_t, b_t)
