@@ -88,3 +88,35 @@ def test_sam_gz_input(tmp_path):
     r2 = md(["extract", "g.fa", "r.sam.gz", "-o", "z"], tmp_path)
     assert r1.returncode == 0 and r2.returncode == 0, (r1.stderr, r2.stderr)
     assert rows(tmp_path / "a_CpG.bedGraph") == rows(tmp_path / "z_CpG.bedGraph")
+
+
+def test_sam_indel_cigar_matches_bam(tmp_path):
+    """SAM rows with I/D/S CIGARs expand refpos identically to BAM."""
+    rng = np.random.default_rng(8)
+    glen = 300
+    ref = "".join(rng.choice(list("ACGT"), glen))
+    (tmp_path / "g.fa").write_text(f">c\n{ref}\n")
+    recs = [
+        dict(qname="del", flag=0, tid=0, pos=10, seq=ref[10:30] + ref[32:42],
+             cigar="20M2D10M", mtid=-1, mpos=-1),
+        dict(qname="ins", flag=0, tid=0, pos=60,
+             seq=ref[60:70] + "GGGG" + ref[70:80],
+             cigar="10M4I10M", mtid=-1, mpos=-1),
+        dict(qname="clip", flag=0, tid=0, pos=120, seq="TTTT" + ref[120:140],
+             cigar="4S20M", mtid=-1, mpos=-1),
+    ]
+    write_bam(tmp_path / "r.bam", [("c", glen)], recs)
+    lines = ["@HD\tVN:1.6\tSO:coordinate", f"@SQ\tSN:c\tLN:{glen}"]
+    for r in recs:
+        lines.append("\t".join([r["qname"], "0", "c", str(r["pos"] + 1),
+                                "40", r["cigar"], "*", "0", "0", r["seq"],
+                                "I" * len(r["seq"])]))
+    (tmp_path / "r.sam").write_text("\n".join(lines) + "\n")
+    r1 = md(["extract", "--CHH", "--CHG", "-q", "0", "g.fa", "r.bam",
+             "-o", "b"], tmp_path)
+    r2 = md(["extract", "--CHH", "--CHG", "-q", "0", "g.fa", "r.sam",
+             "-o", "s"], tmp_path)
+    assert r1.returncode == 0 and r2.returncode == 0, (r1.stderr, r2.stderr)
+    for ctx in ("CpG", "CHG", "CHH"):
+        assert rows(tmp_path / f"b_{ctx}.bedGraph") == \
+            rows(tmp_path / f"s_{ctx}.bedGraph"), ctx
