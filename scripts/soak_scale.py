@@ -50,7 +50,10 @@ def main():
 
     outs = {}
     rates = {}
-    for engine in ("jax", "host"):
+    order = ("jax", "host")
+    if os.environ.get("MDTPU_SOAK_ORDER") == "host_first":
+        order = ("host", "jax")
+    for engine in order:
         od = os.path.join(d, engine)
         os.makedirs(od, exist_ok=True)
         os.environ["MDTPU_ENGINE"] = engine
