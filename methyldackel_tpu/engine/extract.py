@@ -490,6 +490,8 @@ def ensure_bam_index(bam: BamFile, path: str) -> None:
 
     if isinstance(bam, (CramFile, StreamingCramFile, SamFile)):
         return  # CRAM indexes by .crai/container scan; SAM needs no index
+    if getattr(bam, "_reader", None) is None:
+        return  # raw (uncompressed) BAM: no BGZF voffsets, none needed
     cands = [path + ".bai", os.path.splitext(path)[0] + ".bai"]
     if any(os.path.exists(c) for c in cands):
         return

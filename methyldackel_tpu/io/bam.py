@@ -201,11 +201,18 @@ class BamFile(AlignmentSoA):
     decode pass.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, raw: bool = False):
         self.path = path
-        reader = BGZFReader(path)
-        self._reader = reader
-        data = reader.data
+        if raw:
+            # Uncompressed BAM ("BAM\x01" with no BGZF framing): hts_open
+            # accepts these, so open_alignment routes them here (ADVICE r4).
+            with open(path, "rb") as fh:
+                data = fh.read()
+            self._reader = None
+        else:
+            reader = BGZFReader(path)
+            self._reader = reader
+            data = reader.data
         if data[:4] != b"BAM\x01":
             raise ValueError(f"{path} is not a BAM file")
         l_text = struct.unpack_from("<i", data, 4)[0]

@@ -1533,12 +1533,21 @@ class StreamingCramFile:
             total = 0
             # .crai rows are per-slice: dedupe to container offsets
             for c_off in dict.fromkeys(r[3] for r in self._index):
-                hdr = self._read_at(c_off, 4096)
-                try:
-                    _l, _r, _s, _sp2, n_records, _he = \
-                        _parse_container_header(hdr, 0)
-                except (ValueError, IndexError):
-                    continue
+                # Container headers with many slices/landmarks can exceed a
+                # small fixed read; retry with a doubled buffer instead of
+                # silently dropping the container from the count (ADVICE r4).
+                read_len = 4096
+                while True:
+                    hdr = self._read_at(c_off, read_len)
+                    try:
+                        _l, _r, _s, _sp2, n_records, _he = \
+                            _parse_container_header(hdr, 0)
+                    except (ValueError, IndexError):
+                        if len(hdr) == read_len and read_len < (1 << 20):
+                            read_len *= 2  # plausibly truncated: read more
+                            continue
+                        n_records = 0  # genuinely unparseable
+                    break
                 total += n_records
             cached = self._n_reads = total
         return cached
@@ -1613,6 +1622,12 @@ def open_alignment(path: str, fasta=None, prefer_stream: bool | None = None):
             return StreamingCramFile(path, fasta=fasta)
         return CramFile(path, fasta=fasta)
     if magic[:2] != b"\x1f\x8b" or path.endswith(".sam.gz"):
+        if magic == b"BAM\x01":
+            # Uncompressed BAM (hts_open accepts it): decode the record
+            # stream directly instead of surfacing a SAM parse error.
+            from .bam import BamFile
+
+            return BamFile(path, raw=True)
         # Not BGZF/gzip-framed (or explicitly gzipped SAM): htslib's
         # hts_open auto-detects SAM text and the reference binary
         # therefore accepts it (main.c:31); so do we.

@@ -16,6 +16,7 @@ back to unarbitrated quals.
 from __future__ import annotations
 
 import functools
+import threading
 
 import numpy as np
 import jax
@@ -364,6 +365,12 @@ def _perread_reduce(codes, *, Lq):
 
 _PERREAD_HWM = {"Nb": 0}
 
+# Guards every shape-bucket high-water read-modify-write (_V3_HWM,
+# _MBIAS_HWM, _PERREAD_HWM): concurrent -@N workers racing the update could
+# mint redundant shape buckets, each costing a ~20-70 s tunnel executable
+# load (output stayed correct; perf only — ADVICE r4).
+_HWM_LOCK = threading.Lock()
+
 
 def make_perread_backend(cfg):
     """perRead device backend, v3 recipe (VERDICT r3 #3): host packs 2-bit
@@ -383,10 +390,11 @@ def make_perread_backend(cfg):
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         rw = np.asarray(ref_window)
         Lq = (L + 3) // 4
-        Nb = max(256, _PERREAD_HWM["Nb"])
-        while Nb < n:
-            Nb *= 2
-        _PERREAD_HWM["Nb"] = Nb
+        with _HWM_LOCK:
+            Nb = max(256, _PERREAD_HWM["Nb"])
+            while Nb < n:
+                Nb *= 2
+            _PERREAD_HWM["Nb"] = Nb
         packed = None
         # L cap = the pack kernel's row-temp width (it rejects wider rows
         # with rc=-2; long-read inputs take the exact host walker)
@@ -514,10 +522,11 @@ def make_mbias_backend(cfg):
                 ok_even = (kept & (rw == REF_G)).astype(np.uint8)
                 rows = np.nonzero(simple)[0]
                 Lq = (L + 3) // 4
-                Nb = max(256, _MBIAS_HWM["Nb"])
-                while Nb < max(len(rows), 1):
-                    Nb *= 2
-                _MBIAS_HWM["Nb"] = Nb
+                with _HWM_LOCK:
+                    Nb = max(256, _MBIAS_HWM["Nb"])
+                    while Nb < max(len(rows), 1):
+                        Nb *= 2
+                    _MBIAS_HWM["Nb"] = Nb
                 packed = _native.mbias_pack(
                     seq, qual, rows, pos, lq,
                     np.asarray(strand_arr, np.int32),
@@ -1112,20 +1121,21 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
     srtk = flat[:, :K].astype(np.int32).reshape(-1)
     cntk = np.diff(flat, axis=1).astype(np.int32).reshape(-1)
     gmax = int(cntk.max()) if len(cntk) else 0
-    GMAX = max(64, _V3_HWM["GMAX"]) if not interpret else 64
-    while GMAX < gmax + 32:
-        GMAX *= 2
-    if GMAX > max_gmax:
-        return None
+    with _HWM_LOCK:
+        GMAX = max(64, _V3_HWM["GMAX"]) if not interpret else 64
+        while GMAX < gmax + 32:
+            GMAX *= 2
+        if GMAX > max_gmax:
+            return None
 
-    if interpret:
-        Nb = 256
-        while Nb < n + GMAX:
-            Nb *= 2
-    else:
-        Nb = _nb_bucket(n + GMAX, _V3_HWM["Nb"])
-        _V3_HWM["GMAX"] = GMAX
-        _V3_HWM["Nb"] = Nb
+        if interpret:
+            Nb = 256
+            while Nb < n + GMAX:
+                Nb *= 2
+        else:
+            Nb = _nb_bucket(n + GMAX, _V3_HWM["Nb"])
+            _V3_HWM["GMAX"] = GMAX
+            _V3_HWM["Nb"] = Nb
     NCH = 4 if cfg.minOppositeDepth > 0 else 2
     # NCH=2 (the default): the emit path reads only meth/unmeth, so codes
     # reduce to SEMANTIC 2-bit values (1=meth base, 2=unmeth base for the
@@ -1185,11 +1195,12 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
     hrows = np.nonzero(xla_rows)[0]
     HAS_HARD = bool(len(hrows))
     if HAS_HARD:
-        NH = max(256, _V3_HWM["NH"]) if not interpret else 256
-        while NH < len(hrows) + 1:
-            NH *= 2
-        if not interpret:
-            _V3_HWM["NH"] = NH
+        with _HWM_LOCK:
+            NH = max(256, _V3_HWM["NH"]) if not interpret else 256
+            while NH < len(hrows) + 1:
+                NH *= 2
+            if not interpret:
+                _V3_HWM["NH"] = NH
         hseq = np.zeros((NH, L), np.uint8)
         hqual = np.zeros((NH, L), np.uint8)
         hrefpos = np.full((NH, L), -2, np.int32)
@@ -1932,8 +1943,9 @@ def make_device_backend(cfg):
             floor_nb = _nb_bucket(est_rows + 256)
         else:
             floor_nb = 131072
-        _V3_HWM["Nb"] = max(_V3_HWM["Nb"], floor_nb)
-        _V3_HWM["GMAX"] = max(_V3_HWM["GMAX"], 128)
+        with _HWM_LOCK:
+            _V3_HWM["Nb"] = max(_V3_HWM["Nb"], floor_nb)
+            _V3_HWM["GMAX"] = max(_V3_HWM["GMAX"], 128)
         L = max(int(read_len), 1)
         n = 2
         seq = np.full((n, L), 2, np.uint8)

@@ -206,6 +206,25 @@ def test_open_alignment_dispatch(tmp_path):
     assert isinstance(open_alignment(f"{REF}/cg_aln.bam", fa), BamFile)
 
 
+def test_open_alignment_uncompressed_bam(tmp_path):
+    """A raw 'BAM\\x01' stream (no BGZF framing) — hts_open accepts these,
+    so open_alignment must decode it rather than mis-route to the SAM
+    parser (ADVICE r4)."""
+    from methyldackel_tpu.io.bgzf import BGZFReader
+
+    raw = str(tmp_path / "raw.bam")
+    with open(raw, "wb") as fh:
+        fh.write(bytes(BGZFReader(f"{REF}/cg_aln.bam").data))
+    got = open_alignment(raw, FastaFile(f"{REF}/cg100.fa"))
+    assert isinstance(got, BamFile)
+    ref = BamFile(f"{REF}/cg_aln.bam")
+    assert got.n_reads == ref.n_reads
+    import numpy as np
+
+    assert np.array_equal(got.pos, ref.pos)
+    assert np.array_equal(got.seq_flat, ref.seq_flat)
+
+
 # ---------------------------------------------------------------------- e2e
 
 def _prep(tmp_path, bamname, faname):
