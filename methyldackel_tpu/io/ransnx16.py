@@ -14,20 +14,23 @@ The reference consumes CRAM through htslib, which accepts 3.1 containers
 
 Wire-format note (PARITY.md "Known gaps"): no htslib artifact or network
 exists in this build environment, so the exact byte layout follows the
-hts-specs prose as closely as reconstructable, with the frequency-table
-serialization shared with this repo's rANS4x8 module; it is validated by
-an independent in-repo encoder (the foreign-dialect 3.1 fixtures,
-tests/test_cram31.py) rather than against htslib output. The layout is
-isolated here so reconciling against a real htslib file is a local change.
+hts-specs / htscodecs definitions as closely as reconstructable offline;
+it is validated by an independent in-repo encoder (the foreign-dialect
+3.1 fixtures, tests/test_cram31.py) rather than against htslib output.
+The layout is isolated here so reconciling against a real htslib file is
+a local change. Per ADVICE r4, the flag-bit values and the frequency-
+table serialization now follow the published spec (previously the flag
+layout was shifted and the tables reused the rans4x8 format).
 
 Layout::
 
     stream  := flags:u8 [ulen:uint7 unless NOSZ] body
-    flags   : 0x01 ORDER1  0x04 STRIPE  0x08 NOSZ  0x10 CAT
-              0x20 RLE     0x40 PACK    0x80 X32 (32 states, else 4)
+    flags   : 0x01 ORDER1  0x04 X32 (32 states, else 4)  0x08 STRIPE
+              0x10 NOSZ    0x20 CAT  0x40 RLE  0x80 PACK
     uint7   : big-endian base-128, MSB = continuation
-    STRIPE  : X:u8, clen[0..X):uint7, then X full recursive streams;
-              substream j carries bytes j, j+X, j+2X, ...
+    STRIPE  : X:u8, clen[0..X):uint7, then X full recursive streams
+              (NOSZ — sizes derive from ulen); substream j carries bytes
+              j, j+X, j+2X, ...
     CAT     : ulen literal bytes
     else    :
       PACK  : nsym:u8, sym[0..nsym):u8, packed_len:uint7
@@ -37,12 +40,20 @@ Layout::
                      order-0 Nx16 stream of it;
               meta := n_rle_syms:u8 (0 means 256), the symbols, then one
               uint7 run length per run in stream order
-      entropy (order 0/1, N states): frequency tables as in rans4x8
-              (12-bit precision, total 4096; order-1 prefixed by a shift
-              byte, high nibble 12), then N little-endian u32 states and
-              16-bit little-endian renormalization words. Order-1 splits
-              the data into N segments with previous-byte context
-              (initial 0); the tail (len % N) extends the last segment.
+      entropy (order 0/1, N states): Nx16 frequency tables — an
+              RLE-coded symbol alphabet (ascending symbols; a byte
+              following the second of two consecutive symbols counts the
+              further consecutive ones; 0-terminated) followed by uint7
+              frequencies normalized to total 4096 (order 0), or, for
+              order 1, a leading byte (shift 12 << 4, bit 0 = the table
+              itself is an order-0 Nx16 stream) and the global alphabet
+              with one full |A|-wide uint7 frequency row per context in
+              A (each row normalized to 4096). Then N little-endian u32
+              states and 16-bit little-endian renormalization words.
+              Order-1 splits the data into N segments with previous-byte
+              context (initial 0); the tail (len % N) extends the last
+              segment. ORDER1 with fewer than N bytes is encoded as
+              order 0 (the encoder clears the bit).
 
 Decode pipeline: entropy → RLE expand → PACK expand → ulen bytes.
 """
@@ -52,17 +63,16 @@ import struct
 
 import numpy as np
 
-from . import rans4x8
-from .rans4x8 import (_normalize_freqs, _read_freqs0, _read_freqs1,
-                      _write_freqs0, _write_freqs1, _sym_lookup, TOTFREQ)
+from .rans4x8 import _normalize_freqs, _sym_lookup, TOTFREQ
 
+# Spec flag-bit values (htscodecs rans_static4x16: RANS_ORDER_*).
 ORDER1 = 0x01
-STRIPE = 0x04
-NOSZ = 0x08
-CAT = 0x10
-RLE = 0x20
-PACK = 0x40
-X32 = 0x80
+X32 = 0x04
+STRIPE = 0x08
+NOSZ = 0x10
+CAT = 0x20
+RLE = 0x40
+PACK = 0x80
 
 RANS_L = 1 << 15  # lower state bound; 16-bit renormalization
 
@@ -86,6 +96,133 @@ def write_uint7(v: int) -> bytes:
         out.append(0x80 | (v & 0x7F))
         v >>= 7
     return bytes(out[::-1])
+
+
+# ---------------------------------------------------- Nx16 frequency tables
+
+def _write_alphabet(syms) -> bytes:
+    """RLE-coded ascending symbol list (htscodecs encode_alphabet): emit
+    each present symbol; when a symbol directly follows another present
+    one, also emit the count of FURTHER consecutive present symbols
+    (which are then implied). 0-terminated."""
+    present = np.zeros(257, bool)
+    present[np.asarray(syms, dtype=np.int64)] = True
+    out = bytearray()
+    rle = 0
+    for j in range(256):
+        if not present[j]:
+            continue
+        if rle:
+            rle -= 1
+            continue
+        out.append(j)
+        if j and present[j - 1]:
+            k = j + 1
+            while k < 256 and present[k]:
+                k += 1
+            rle = k - (j + 1)
+            out.append(rle)
+    out.append(0)
+    return bytes(out)
+
+
+def _read_alphabet(buf, p):
+    """Decode the alphabet; returns (ascending symbol list, new offset).
+    Terminates when the next symbol byte read is 0 (a genuine 0 can only
+    be the very first symbol)."""
+    syms = []
+    rle = 0
+    i = buf[p]
+    p += 1
+    while True:
+        if i > 255:
+            raise ValueError("ransnx16: corrupt alphabet")
+        syms.append(i)
+        if rle:
+            rle -= 1
+            i += 1
+        else:
+            last = i
+            i = buf[p]
+            p += 1
+            if i == last + 1:
+                rle = buf[p]
+                p += 1
+        if i == 0:
+            break
+    return syms, p
+
+
+def _write_freqs0_nx16(freqs: np.ndarray) -> bytes:
+    """Order-0 Nx16 table: alphabet, then one uint7 per present symbol
+    (normalized to total 4096)."""
+    syms = np.nonzero(freqs)[0]
+    out = bytearray(_write_alphabet(syms))
+    for s in syms:
+        out += write_uint7(int(freqs[s]))
+    return bytes(out)
+
+
+def _read_freqs0_nx16(buf, p):
+    syms, p = _read_alphabet(buf, p)
+    freqs = np.zeros(256, dtype=np.int64)
+    for s in syms:
+        f, p = read_uint7(buf, p)
+        freqs[s] = f
+    if freqs.sum() != TOTFREQ and freqs.sum() > 0:
+        # spec: the decoder renormalizes to 1<<12 deterministically
+        freqs = _normalize_freqs(freqs)
+    return freqs, p
+
+
+def _write_freqs1_payload(freqs2d: np.ndarray) -> bytes:
+    """Order-1 table payload: the global alphabet once, then for each
+    context in it a full |A|-wide row of uint7 frequencies (row total
+    4096; rows for contexts that never occur are all-zero)."""
+    used = np.nonzero(freqs2d.sum(axis=0) + freqs2d.sum(axis=1))[0]
+    out = bytearray(_write_alphabet(used))
+    for i in used:
+        for j in used:
+            out += write_uint7(int(freqs2d[i, j]))
+    return bytes(out)
+
+
+def _read_freqs1_payload(buf, p):
+    syms, p = _read_alphabet(buf, p)
+    freqs2d = np.zeros((256, 256), dtype=np.int64)
+    for i in syms:
+        for j in syms:
+            f, p = read_uint7(buf, p)
+            freqs2d[i, j] = f
+        if freqs2d[i].sum() not in (0, TOTFREQ):
+            freqs2d[i] = _normalize_freqs(freqs2d[i])
+    return freqs2d, p
+
+
+def _write_freqs1_nx16(freqs2d: np.ndarray) -> bytes:
+    """Shift/flag byte + (possibly order-0-Nx16-compressed) payload."""
+    payload = _write_freqs1_payload(freqs2d)
+    comp = _entropy_encode(np.frombuffer(payload, np.uint8), 0, 4)
+    hdr = write_uint7(len(payload)) + write_uint7(len(comp))
+    if len(hdr) + len(comp) < len(payload):
+        return bytes([(12 << 4) | 1]) + hdr + comp
+    return bytes([12 << 4]) + payload
+
+
+def _read_freqs1_nx16(buf, p):
+    shift = buf[p] >> 4
+    if shift != 12:
+        raise ValueError(f"ransnx16: unsupported order-1 shift {shift}")
+    compressed = buf[p] & 1
+    p += 1
+    if compressed:
+        ulen, p = read_uint7(buf, p)
+        clen, p = read_uint7(buf, p)
+        payload, _ = _entropy_decode(buf[p : p + clen], 0, ulen, 0, 4)
+        p += clen
+        freqs2d, _ = _read_freqs1_payload(payload.tobytes(), 0)
+        return freqs2d, p
+    return _read_freqs1_payload(buf, p)
 
 
 # ----------------------------------------------------------- entropy core
@@ -129,11 +266,9 @@ def _entropy_encode(data: np.ndarray, order: int, nway: int) -> bytes:
         counts = np.bincount(data, minlength=256)
         freqs = _normalize_freqs(counts)
         cum = np.concatenate([[0], np.cumsum(freqs)[:-1]])
-        table = _write_freqs0(freqs)
+        table = _write_freqs0_nx16(freqs)
         pos = np.arange(n, dtype=np.int64)
         body = _encode_states(pos, pos % nway, freqs[data], cum[data], nway)
-        if order == 1:
-            table = bytes([12 << 4]) + table  # shift byte, uncompressed
         return table + body
     q, starts, ends = _segments(n, nway)
     ctx = np.empty(n, dtype=np.uint8)
@@ -147,7 +282,7 @@ def _entropy_encode(data: np.ndarray, order: int, nway: int) -> bytes:
         freqs2d[c] = _normalize_freqs(counts[c])
     cum2d = np.zeros_like(freqs2d)
     cum2d[:, 1:] = np.cumsum(freqs2d, axis=1)[:, :-1]
-    table = bytes([12 << 4]) + _write_freqs1(freqs2d)
+    table = _write_freqs1_nx16(freqs2d)
     rounds = np.arange(q, dtype=np.int64)
     main_pos = (rounds[:, None]
                 + np.array(starts, dtype=np.int64)[None, :]).reshape(-1)
@@ -165,18 +300,11 @@ def _entropy_decode(buf: bytes, p: int, n: int, order: int,
                     nway: int) -> tuple[np.ndarray, int]:
     if n == 0:
         return np.zeros(0, np.uint8), p + 4 * nway
-    if order == 1:
-        shift = buf[p] >> 4
-        if shift != 12:
-            raise ValueError(f"ransnx16: unsupported order-1 shift {shift}")
-        if buf[p] & 1:
-            raise ValueError("ransnx16: compressed order-1 tables "
-                             "not supported")
-        p += 1
-        if n >= nway:
-            return _decode1(buf, p, n, nway)
-        # short stream: encoder fell back to order-0 stats
-    freqs, p = _read_freqs0(buf, p)
+    if order == 1 and n >= nway:
+        return _decode1(buf, p, n, nway)
+    # order-1 below nway bytes is encoded as order 0 (flag kept by some
+    # foreign encoders; the table layout is order-0 either way)
+    freqs, p = _read_freqs0_nx16(buf, p)
     slot2sym, f, c = _sym_lookup(freqs)
     states = list(struct.unpack_from("<%dI" % nway, buf, p))
     p += 4 * nway
@@ -197,7 +325,7 @@ def _entropy_decode(buf: bytes, p: int, n: int, order: int,
 
 
 def _decode1(buf: bytes, p: int, n: int, nway: int) -> tuple[np.ndarray, int]:
-    freqs2d, p = _read_freqs1(buf, p)
+    freqs2d, p = _read_freqs1_nx16(buf, p)
     slot2sym = np.zeros((256, TOTFREQ), dtype=np.uint8)
     cum2d = np.zeros((256, 256), dtype=np.int64)
     cum2d[:, 1:] = np.cumsum(freqs2d, axis=1)[:, :-1]
@@ -350,7 +478,8 @@ def compress(raw: bytes, flags: int = 0) -> bytes:
     n = len(data)
     out = bytearray()
     if flags & STRIPE:
-        sub_flags = flags & ~(STRIPE | NOSZ)
+        # substreams are NOSZ: their sizes derive from ulen (spec layout)
+        sub_flags = (flags & ~STRIPE) | NOSZ
         X = 4
         out.append(flags)
         if not (flags & NOSZ):
