@@ -585,9 +585,11 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
     else:
         _prewarm_th = None
 
-    def start_window(tid, lpos, lend, view=None):
-        """Host prep + (async backends) device dispatch for one window.
-        Returns None (window skipped) or an opaque state for finish_window.
+    def prep_window(tid, lpos, lend, view=None):
+        """Host-side prep for one window (no compute/dispatch): BED gate,
+        reference fetch, batch materialization, read filter/trim. Returns
+        None (window skipped) or (name, tid, lpos, lend, lpos2,
+        ref_window, covered, batch, strand_arr, keep, rstrand).
         `view` is an optionally prefetched window_soa (decode overlap)."""
         name = hdr.names[tid]
         bed_state = BedState()
@@ -628,6 +630,17 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
 
         STATS.count("windows")
         STATS.count("reads_processed", int(keep.sum()))
+        return (name, tid, lpos, lend, lpos2, ref_window, covered,
+                batch, strand_arr, keep, rstrand)
+
+    def start_window(tid, lpos, lend, view=None):
+        """prep_window + compute/dispatch. Returns None (window skipped)
+        or an opaque state for finish_window."""
+        p = prep_window(tid, lpos, lend, view=view)
+        if p is None:
+            return None
+        (name, tid, lpos, lend, lpos2, ref_window, covered,
+         batch, strand_arr, keep, rstrand) = p
         with STATS.timer("window_dispatch"), trace("window_dispatch"):
             if compute_lock is not None:
                 with compute_lock:
@@ -684,56 +697,79 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
     if n_hosts > 1:
         win_iter = ((i, w) for i, w in win_iter if i % n_hosts == host_id)
     n_threads = max(1, int(getattr(cfg, "nThreads", 1) or 1))
-    if dispatch_fn is not None and compute_lock is None and n_threads > 1:
-        # Device engines: workers only do host prep + dispatch (compute is
-        # on the TPU), so workers beyond the host's core count cannot add
-        # throughput — they just preempt the drain/gRPC threads (measured:
-        # -@4 on 2 cores ran 0.6x of -@2). Output is thread-count
-        # invariant (tests), so capping is free.
-        n_threads = min(n_threads, max(1, _os.cpu_count() or 1))
-    # Depth 6: deep enough that host prep keeps flowing through the one-time
+    # Depth: deep enough that host prep keeps flowing through the one-time
     # per-process executable load (~20 s) of the first window's program;
     # each in-flight window holds ~10 MB (dispatch releases the batch).
     pipeline_depth = max(1, int(_os.environ.get("MDTPU_PIPELINE", "6") or 1))
-    # MDTPU_INTERNAL_WORKERS=N (device engines at -@ 1): replace the async
-    # pipeline with an N-worker sync pool. Measured SLOWER than the async
-    # pipeline on the 2-core dev host (63k vs 136k reads/s) — workers block
-    # in device_get while the pipeline keeps dispatching — so the default
-    # is 0 (off); kept as an experiment knob for bigger hosts.
-    internal_workers = int(_os.environ.get("MDTPU_INTERNAL_WORKERS", "0"))
-    if n_threads == 1 and dispatch_fn is not None and compute_lock is None \
-            and internal_workers > 1:
-        n_threads = internal_workers
-    if n_threads == 1 and dispatch_fn is not None and compute_lock is None \
+    if dispatch_fn is not None and compute_lock is None \
             and pipeline_depth > 1:
-        # -@ 1 async pipeline: the main thread preps + dispatches windows
-        # (keeping `pipeline_depth` in flight on the device); MDTPU_GETTERS
-        # DRAIN threads perform the readbacks + emit concurrently — the
-        # tunnel pipelines concurrent readbacks ~2.75x better than serial
-        # ones (scripts/tunnel_probe.py: 4x2MB gets 237 ms concurrent vs
-        # 652 ms serial) — with a sequence-numbered reorder buffer so
-        # output stays genome-ordered and the streams single-writer.
+        # Device-engine scheduler (all -@ counts): a hybrid pipeline.
+        #
+        # - The MAIN thread preps windows and dispatches them to the
+        #   device, K at a time through dispatch_group (one program + one
+        #   readback per K windows amortizes the tunnel's fixed RPC costs
+        #   — VERDICT r4 #2), keeping `pipeline_depth` windows in flight.
+        # - MDTPU_GETTERS drain threads perform the readbacks + emit
+        #   concurrently (the tunnel pipelines concurrent readbacks ~2.75x
+        #   better than serial — scripts/tunnel_probe.py).
+        # - A decode-prefetch thread overlaps BAM decode with everything.
+        # - MDTPU_STEAL host-compute workers (default: min(-@, cores-1))
+        #   pull windows from the same prefetch queue and run them through
+        #   the exact host engine (native kernels, GIL-released) — the
+        #   byte-identical second lane. This is the r4 "GIL wall" fix
+        #   turned upside down: instead of multiplying GIL-bound device
+        #   prep threads (measured ceiling ~1.2-1.3 cores), spare cores
+        #   run the fully-native host path and ADD their throughput; work
+        #   sharing self-balances because each lane pulls only as fast as
+        #   it finishes (replaces the -@ pthread pool of
+        #   extract.c:1479-1484).
+        #
+        # A producer-assigned sequence number + reorder buffer keeps
+        # output genome-ordered and the streams single-writer no matter
+        # which lane computed a window.
         import queue as _queue
 
+        group_fn = getattr(compute, "dispatch_group", None)
+        group_k = max(1, int(_os.environ.get("MDTPU_BATCH_WINDOWS", "4")
+                             or 1))
+        if group_fn is None:
+            group_k = 1
+        pipeline_depth = max(pipeline_depth, 2 * group_k)
         n_getters = max(1, int(_os.environ.get("MDTPU_GETTERS", "2") or 1))
+        ncores = _os.cpu_count() or 1
+        steal_env = _os.environ.get("MDTPU_STEAL")
+        n_steal = (max(0, int(steal_env)) if steal_env is not None
+                   else min(n_threads, max(0, ncores - 1)))
+
         q: "_queue.Queue" = _queue.Queue(maxsize=pipeline_depth)
+        pf_q: "_queue.Queue" = _queue.Queue(maxsize=group_k + 2)
         failure = []
         emit_lock = threading.Lock()
         pending: dict = {}
         next_emit = [0]
+        pf_stop = []
 
-        def repost_shutdown():
-            # Non-blocking propagation: if the queue is full (main refilled
-            # the slot before we could), DROP an item to make room — we are
-            # shutting down (or failing) and undrained windows are moot.
-            # A blocking put here deadlocked MDTPU_GETTERS=1 shutdown.
+        def post(seq_no, widx, result):
+            with emit_lock:
+                pending[seq_no] = (widx, result)
+                while next_emit[0] in pending:
+                    jj, rr = pending.pop(next_emit[0])
+                    drain(jj, rr)
+                    next_emit[0] += 1
+
+        def repost_shutdown(qq):
+            # Non-blocking propagation: if the queue is full (a producer
+            # refilled the slot before we could), DROP an item to make
+            # room — we are shutting down (or failing) and unprocessed
+            # items are moot. A blocking put here deadlocked
+            # MDTPU_GETTERS=1 shutdown in r3.
             while True:
                 try:
-                    q.put_nowait(None)
+                    qq.put_nowait(None)
                     return
                 except _queue.Full:
                     try:
-                        q.get_nowait()
+                        qq.get_nowait()
                     except _queue.Empty:
                         pass
 
@@ -741,41 +777,52 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
             while True:
                 item = q.get()
                 if item is None:
-                    repost_shutdown()  # propagate to sibling getters
+                    repost_shutdown(q)  # propagate to sibling getters
                     return
-                seq_no, j, s = item
+                seq_no, widx, s = item
                 try:
-                    res = finish_window(s)
-                    with emit_lock:
-                        pending[seq_no] = (j, res)
-                        while next_emit[0] in pending:
-                            jj, rr = pending.pop(next_emit[0])
-                            drain(jj, rr)
-                            next_emit[0] += 1
+                    post(seq_no, widx, finish_window(s))
                 except BaseException as exc:  # noqa: BLE001 — rethrown below
                     failure.append(exc)
-                    repost_shutdown()
+                    repost_shutdown(q)
                     return
 
-        ths = [threading.Thread(target=drain_loop, daemon=True)
-               for _ in range(n_getters)]
-        for th in ths:
-            th.start()
-        # Decode prefetch: the next window's BAM decode (BGZF inflate +
-        # record parse, GIL-released in the native kernels) runs in a
-        # side thread while the main thread preps/dispatches the current
-        # one. Matters most for streaming ingest, where the per-window
-        # decode otherwise serializes ahead of every dispatch (the r4
-        # soak's jax-vs-host gap).
-        pf_q: "_queue.Queue" = _queue.Queue(maxsize=2)
-        pf_stop = []
+        def steal_loop():
+            while True:
+                item = pf_q.get()
+                if item is None:
+                    repost_shutdown(pf_q)  # propagate to siblings + main
+                    return
+                seq_no, widx, (tid, lpos, lend), view = item
+                try:
+                    p = prep_window(tid, lpos, lend, view=view)
+                    if p is None:
+                        post(seq_no, widx, None)
+                        continue
+                    (name, tid2, lp, le, lpos2, ref_window, covered,
+                     batch, strand_arr, keep, rstrand) = p
+                    with STATS.timer("window_compute_steal"):
+                        counters = compute_window_counters_host(
+                            cfg, batch, strand_arr, keep, ref_window,
+                            lpos2, lp, le, rstrand)
+                    with STATS.timer("window_emit"):
+                        res = emit_window(cfg, name, tid2, lp, le, lpos2,
+                                          ref_window, np.asarray(counters),
+                                          covered)
+                    STATS.count("windows_host_steal")
+                    post(seq_no, widx, res)
+                except BaseException as exc:  # noqa: BLE001 — rethrown below
+                    failure.append(exc)
+                    repost_shutdown(pf_q)
+                    return
 
         def prefetch_loop():
             nonlocal _prewarm_th
+            seq_no = 0
             try:
                 first = True
-                for item in win_iter:
-                    view = bam.window_soa(item[1][0], item[1][1], item[1][2])
+                for widx, (tid, lpos, lend) in win_iter:
+                    view = bam.window_soa(tid, lpos, lend)
                     if first:
                         first = False
                         if _prewarm_th is None and prewarm_fn is not None \
@@ -791,13 +838,15 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                                     args=(L0, len(lqv)),
                                     daemon=True)
                                 _prewarm_th.start()
-                    while not pf_stop:
+                    while not pf_stop and not failure:
                         try:
-                            pf_q.put((item, view), timeout=0.5)
+                            pf_q.put((seq_no, widx, (tid, lpos, lend),
+                                      view), timeout=0.5)
+                            seq_no += 1
                             break
                         except _queue.Full:
                             continue
-                    if pf_stop:
+                    if pf_stop or failure:
                         return
             except BaseException as exc:  # noqa: BLE001 — rethrown below
                 failure.append(exc)
@@ -809,42 +858,90 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                     except _queue.Full:
                         continue
 
+        getters = [threading.Thread(target=drain_loop, daemon=True)
+                   for _ in range(n_getters)]
+        stealers = [threading.Thread(target=steal_loop, daemon=True)
+                    for _ in range(n_steal)]
+        for th in (*getters, *stealers):
+            th.start()
         pf_th = threading.Thread(target=prefetch_loop, daemon=True)
         pf_th.start()
-        seq_no = 0
+
+        pgroup: list = []  # [(seq_no, widx, prep)] awaiting dispatch
+
+        def flush_group():
+            if not pgroup or failure:
+                pgroup.clear()
+                return
+            grp = list(pgroup)
+            pgroup.clear()
+            with STATS.timer("window_dispatch"), trace("window_dispatch"):
+                if group_fn is not None and len(grp) > 1:
+                    items = [(p[7], p[8], p[9], p[5], p[4], p[2], p[3],
+                              p[10]) for (_s, _w, p) in grp]
+                    handles = group_fn(cfg, items, pad_to=group_k)
+                else:
+                    handles = [dispatch_fn(cfg, p[7], p[8], p[9], p[5],
+                                           p[4], p[2], p[3], p[10])
+                               for (_s, _w, p) in grp]
+            for (seq_no, widx, p), h in zip(grp, handles):
+                state = (p[0], p[1], p[2], p[3], p[4], p[5], p[6], h)
+                while not failure:
+                    try:
+                        q.put((seq_no, widx, state), timeout=0.5)
+                        break
+                    except _queue.Full:
+                        continue
+
         try:
             while True:
                 if failure:
                     break
-                got = pf_q.get()
-                if got is None:
-                    break
-                (i, (tid, lpos, lend)), view = got
-                state = start_window(tid, lpos, lend, view=view)
-                if state is None:
-                    continue
-                while not failure:
+                if pgroup:
                     try:
-                        q.put((seq_no, i, state), timeout=0.5)
-                        seq_no += 1
-                        break
-                    except _queue.Full:
+                        got = pf_q.get(timeout=0.2)
+                    except _queue.Empty:
+                        # decode-bound phase: don't sit on prepped windows
+                        flush_group()
                         continue
+                else:
+                    got = pf_q.get()
+                if got is None:
+                    repost_shutdown(pf_q)  # let the steal workers exit
+                    break
+                seq_no, widx, w, view = got
+                p = prep_window(*w, view=view)
+                if p is None:
+                    post(seq_no, widx, None)
+                    continue
+                pgroup.append((seq_no, widx, p))
+                if len(pgroup) >= group_k:
+                    flush_group()
+            flush_group()
         finally:
             pf_stop.append(True)
-            while not pf_q.empty():
-                try:
-                    pf_q.get_nowait()
-                except _queue.Empty:
-                    break
+            if failure:
+                # Unblock the producer and the steal workers: drop whatever
+                # remains (the run is aborting), then send a sentinel that
+                # the workers repost among themselves. On the normal path
+                # main already reposted the producer's sentinel — draining
+                # here would swallow it and deadlock the steal workers.
+                while True:
+                    try:
+                        pf_q.get_nowait()
+                    except _queue.Empty:
+                        break
+                repost_shutdown(pf_q)
             pf_th.join(timeout=60)
-            while any(th.is_alive() for th in ths):
+            for th in stealers:
+                th.join()
+            while any(th.is_alive() for th in getters):
                 try:
                     q.put(None, timeout=0.5)
                     break
                 except _queue.Full:
                     continue
-            for th in ths:
+            for th in getters:
                 th.join()
         if failure:
             raise failure[0]

@@ -577,11 +577,14 @@ def v3_pack(seq, qual, src_rows, pos, strand, Lh, nf_cap, win_start,
 
 
 def v3_pack2(seq, qual, src_rows, pos, strand, Lq, nf_cap, win_start,
-             min_phred):
+             min_phred, out=None):
     """Fused gather + phred pre-gate + SEMANTIC 2-bit pack (meth=1,
     unmeth=2 per the row's strand parity; 4 codes/byte) into the v3 NCH=2
     upload layout. Returns (seqpack2 [nf_cap, Lq] u8, pos_p int32,
-    parity_p u8) or None."""
+    parity_p u8) or None. `out` = caller-provided (seqpack, pos_p,
+    parity_p) C-contiguous destination views (the K-window batched
+    dispatch packs each window straight into its row slice of the group
+    upload buffer)."""
     import numpy as np
     import os
 
@@ -596,9 +599,14 @@ def v3_pack2(seq, qual, src_rows, pos, strand, Lq, nf_cap, win_start,
     strand = np.ascontiguousarray(strand, np.int32)
     n, L = seq.shape
     nf = len(src_rows)
-    seqpack = np.zeros((nf_cap, Lq), np.uint8)
-    pos_p = np.zeros(nf_cap, np.int32)
-    parity_p = np.zeros(nf_cap, np.uint8)
+    if out is not None:
+        seqpack, pos_p, parity_p = out
+        assert seqpack.flags.c_contiguous and len(seqpack) == nf_cap
+        assert pos_p.flags.c_contiguous and parity_p.flags.c_contiguous
+    else:
+        seqpack = np.zeros((nf_cap, Lq), np.uint8)
+        pos_p = np.zeros(nf_cap, np.int32)
+        parity_p = np.zeros(nf_cap, np.uint8)
 
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p)

@@ -1429,6 +1429,421 @@ class WindowHandle:
         return self._val
 
 
+# Row-count bucket floor for the K-window batched program (its own key:
+# group row counts are ~K x the single-window ones, and sharing the single
+# program's floor would oversize every unbatched window).
+_V3M_HWM = {"Nb": 0}
+
+
+class _GroupResult:
+    """Shared deferred result of one K-window batched dispatch: the first
+    .get(k) runs the group finalize (ONE readback for all K windows) and
+    caches the per-window counter list; later gets just slice it.
+    Thread-safe — concurrent drain getters may race the first get."""
+
+    __slots__ = ("_fn", "_vals", "_lock")
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._vals = None
+        self._lock = threading.Lock()
+
+    def get(self, k):
+        with self._lock:
+            if self._fn is not None:
+                self._vals = self._fn()
+                self._fn = None
+        return self._vals[k]
+
+
+def dispatch_window_group(cfg, items, pad_to=0, interpret=False):
+    """K-window batched dispatch (VERDICT r4 #2): concatenate K prepared
+    windows along the genome-coordinate axis — each in its own
+    guard-separated slot — and run ONE v3 2-bit program over the group, so
+    fixed per-dispatch tunnel costs (RPC latency, readback round trips,
+    client dispatch overhead) amortize over K windows and the transfers
+    ride the tunnel's large-message bandwidth (readback BW rises ~2.5x
+    from 0.5 MB to 8 MB messages; scripts/tunnel_probe.py). Replaces the
+    per-1 Mb-chunk claim cost of the reference scheduler
+    (extract.c:326-350) whose per-window overhead is ~0 — here the
+    per-window overhead is a tunnel RPC, so batching is the equalizer.
+
+    items: list of (batch, strand_arr, keep, ref_window, win_offset,
+    win_start, win_end, rstrand) tuples — the dispatch() signature.
+    `pad_to`: pad the group with empty slots to exactly this many windows
+    so partial tail groups reuse the same compiled program shape.
+    Returns a list of per-window WindowHandles (shared deferred readback),
+    or None when the group preconditions fail (caller dispatches singles).
+
+    Preconditions: NCH == 2 (cfg.minOppositeDepth == 0; the 4-channel
+    epilogue needs per-window reference bytes on device), no BED strand
+    column, L <= 256 and equal across windows (the engine pads batches to
+    the file-global max), window width <= chunkSize (same group slot).
+    Hard rows (indels / '=' bases / pairs containing one) do NOT ride the
+    batched program: they are folded in per window with the exact host
+    oracle at finalize — they are rare, and this removes the dense
+    hard-row upload entirely."""
+    import os as _os
+
+    if cfg.minOppositeDepth > 0 or not items:
+        return None
+    if _os.environ.get("MDTPU_FUSED", "v3") == "v2":
+        return None
+    Ls = set()
+    for it in items:
+        if it[7] is not None:  # rstrand
+            return None
+        if it[0].n:
+            Ls.add(it[0].seq.shape[1])
+    if Ls and max(Ls) > 256:
+        return None
+    if len(Ls) > 1:
+        return None
+    W_fixed = _round_up(int(cfg.chunkSize) + 16, 512)
+    wins = []
+    for it in items:
+        (batch, strand_arr, keep, ref_window, win_offset, win_start,
+         win_end, _rs) = it
+        W = win_end - win_start
+        if _round_up(max(int(cfg.chunkSize) + 16, W), 512) > W_fixed:
+            return None  # window wider than the group slot
+        kidx = np.nonzero(keep)[0]
+        if batch.n == 0 or len(kidx) == 0:
+            wins.append({"empty": True, "W": W})
+            continue
+        seq, qual, refpos, pos, _lq, st, xla_rows = _prep_v3_rows(
+            cfg, batch, strand_arr, keep, kidx)
+        wins.append({"empty": False, "W": W, "seq": seq, "qual": qual,
+                     "refpos": refpos, "pos": pos, "st": st,
+                     "xla_rows": xla_rows, "ref_window": ref_window,
+                     "win_start": win_start,
+                     "woff_rel": win_offset - win_start})
+    n_real = len(wins)
+    while len(wins) < pad_to:
+        wins.append({"empty": True, "W": 0})
+    fin = _fused_dispatch_v3_multi(cfg, wins, W_fixed, interpret=interpret)
+    if fin is None:
+        return None
+    g = _GroupResult(fin)
+    return [WindowHandle(fn=functools.partial(g.get, k))
+            for k in range(n_real)]
+
+
+def _fused_dispatch_v3_multi(cfg, wins, W_fixed, max_gmax=4096,
+                             interpret=False):
+    """Group choreography for dispatch_window_group: one v3 2-bit program
+    (_fused_window_pregated2) over K guard-separated window slots.
+    Windows occupy disjoint ascending coordinate ranges, so per-window
+    sorted row order concatenates into the global sorted order and the
+    offset-group tables are computed once over the whole group space. The
+    kernel itself is position-agnostic (it bins rows into 512-wide tiles
+    by coordinate), so the SAME jitted program serves any K via bigger
+    (ntiles, Nb, W, ...) statics — no new kernel code. Returns
+    finalize() -> list of uint32 [W_k, 4] per window, or None (caller
+    falls back to per-window dispatch)."""
+    from ..io import native
+    from ..ops import pileup_pallas as pk
+
+    live = [w for w in wins if not w["empty"]]
+    if not live:
+        Ws = [w["W"] for w in wins]
+        return lambda: [np.zeros((W, 4), np.uint32) for W in Ws]
+    L = live[0]["seq"].shape[1]
+    Lq = (L + 3) // 4
+    L4 = 4 * Lq
+    LP = _round_up(max(L4, 128), 128)
+    LP2 = _round_up(L4 + 127, 128)
+    T = 512
+    HALO_L = LP + 128
+    K = (T + LP) // 128
+    wpad1 = _round_up(W_fixed, T)
+    # Guard tile between slots: reads near a slot's right edge write up to
+    # L-1 (< 512) bases past wpad1; reads entering a window from the left
+    # start at most L-1 before its slot. Both land in the guard, which has
+    # no candidate bits — exactly the bases the single-window program
+    # drops past wpad / slices off past W.
+    S = wpad1 + 512
+    Kw = len(wins)
+    W_tot = Kw * S
+    ntiles = W_tot // T
+    nbits1 = wpad1 // 8
+    nbits_tot = W_tot // 8
+    min_phred = int(cfg.minPhred)
+
+    # --- fast-row geometry: per-window sort, global tables
+    per = []
+    n_tot = 0
+    for w in wins:
+        if w["empty"]:
+            per.append(None)
+            continue
+        rows = np.nonzero(~w["xla_rows"])[0]
+        f_pos = (w["pos"][rows] - w["win_start"]).astype(np.int64)
+        aligned = f_pos - (f_pos % 128)
+        order = np.argsort(aligned, kind="stable")
+        per.append({"src": rows[order], "f_pos": f_pos[order],
+                    "aligned": aligned[order], "row0": n_tot})
+        n_tot += len(rows)
+
+    if n_tot:
+        al_all = np.concatenate(
+            [p["aligned"] + k * S for k, p in enumerate(per)
+             if p is not None])
+    else:
+        al_all = np.zeros(0, np.int64)
+    bounds = (np.arange(ntiles)[:, None] * T - LP
+              + 128 * np.arange(K + 1)[None, :])
+    flat = np.searchsorted(al_all, bounds.reshape(-1), side="left")
+    flat = flat.reshape(ntiles, K + 1)
+    srtk = flat[:, :K].astype(np.int32).reshape(-1)
+    cntk = np.diff(flat, axis=1).astype(np.int32).reshape(-1)
+    gmax = int(cntk.max()) if len(cntk) else 0
+    with _HWM_LOCK:
+        GMAX = max(64, _V3_HWM["GMAX"]) if not interpret else 64
+        while GMAX < gmax + 32:
+            GMAX *= 2
+        if GMAX > max_gmax:
+            return None
+        if interpret:
+            Nb = 256
+            while Nb < n_tot + GMAX:
+                Nb *= 2
+        else:
+            Nb = _nb_bucket(n_tot + GMAX, _V3M_HWM["Nb"])
+            _V3_HWM["GMAX"] = GMAX
+            _V3M_HWM["Nb"] = Nb
+
+    # --- pack rows + per-window ref bitmaps + hard-row slices
+    seqpack = np.zeros((Nb, Lq), np.uint8)
+    pos_p = np.zeros(Nb, np.int32)
+    parity_p = np.zeros(Nb, np.uint8)
+    isc_all = np.zeros(nbits_tot, np.uint8)
+    isg_all = np.zeros(nbits_tot, np.uint8)
+    hard = [None] * Kw
+    Ws = [w["W"] for w in wins]
+    ref_static1 = wpad1 + 256
+    for k, (w, p) in enumerate(zip(wins, per)):
+        if p is None:
+            continue
+        n_k = len(p["src"])
+        r0 = p["row0"]
+        if n_k:
+            nat = None if interpret else native.v3_pack2(
+                w["seq"], w["qual"], p["src"], w["pos"], w["st"], Lq,
+                n_k, w["win_start"], min_phred,
+                out=(seqpack[r0:r0 + n_k], pos_p[r0:r0 + n_k],
+                     parity_p[r0:r0 + n_k]))
+            if nat is None:
+                par = (w["st"][p["src"]] & 1).astype(np.uint8)
+                mc = np.where(par == 1, 2, 4).astype(np.uint8)[:, None]
+                uc = np.where(par == 1, 8, 1).astype(np.uint8)[:, None]
+                g = np.where(w["qual"][p["src"]] >= min_phred,
+                             w["seq"][p["src"]], 0).astype(np.uint8)
+                v = np.where(g == mc, 1,
+                             np.where(g == uc, 2, 0)).astype(np.uint8)
+                if L4 != L:
+                    v = np.concatenate(
+                        [v, np.zeros((n_k, L4 - L), np.uint8)], axis=1)
+                seqpack[r0:r0 + n_k] = (v[:, 0::4] | (v[:, 1::4] << 2)
+                                        | (v[:, 2::4] << 4)
+                                        | (v[:, 3::4] << 6))
+                pos_p[r0:r0 + n_k] = p["f_pos"]
+                parity_p[r0:r0 + n_k] = par
+            pos_p[r0:r0 + n_k] += k * S  # slot offset (multiple of 512)
+        ref_p = np.zeros(ref_static1, np.uint8)
+        rw = np.asarray(w["ref_window"], np.uint8)
+        seqlen = min(len(rw), ref_static1)
+        ref_p[:seqlen] = rw[:seqlen]
+        woff = int(w["woff_rel"])
+        assert -512 <= woff <= 512, woff
+        rb = None if interpret else native.v3_refbits(ref_p, woff, wpad1)
+        if rb is None:
+            idx = np.arange(wpad1, dtype=np.int64) - woff
+            inr = (idx >= 0) & (idx < ref_static1)
+            rbw = np.where(inr, ref_p[np.clip(idx, 0, ref_static1 - 1)], 0)
+            rb = (np.packbits(rbw == REF_C), np.packbits(rbw == REF_G))
+        isc_all[k * S // 8 : k * S // 8 + nbits1] = rb[0]
+        isg_all[k * S // 8 : k * S // 8 + nbits1] = rb[1]
+        hrows = np.nonzero(w["xla_rows"])[0]
+        if len(hrows):
+            hard[k] = (w["seq"][hrows].copy(), w["qual"][hrows].copy(),
+                       (w["refpos"][hrows] - w["win_start"]).astype(
+                           np.int64),
+                       w["st"][hrows].copy(), ref_p, woff)
+        # finalize must not pin the window's big arrays until readback
+        w.clear()
+    del wins, live, per
+
+    cand_bytes = np.bitwise_or(isc_all, isg_all)
+    cand_idx = np.nonzero(
+        np.unpackbits(cand_bytes)[:W_tot])[0].astype(np.int64)
+    NCAND = _round_up(Kw * _round_up(wpad1 * 5 // 8, 128), 128)
+    if len(cand_idx) > NCAND:
+        NCAND = 0
+        compact_idx = None
+    else:
+        compact_idx = cand_idx
+
+    shp = ((pos_p % 128).astype(np.uint8)
+           | (parity_p << 7)).astype(np.uint8)
+    meta_i32 = np.concatenate([srtk, cntk])
+
+    def finalize_common(cm):
+        """cm: uint32 [2, W_tot] dense group counters → per-window [W,4]
+        with the host-oracle hard rows folded in (channels 2-3 stay zero:
+        the NCH=2 readback contract)."""
+        outs = []
+        for k in range(Kw):
+            cmaj = np.zeros((4, wpad1), np.uint32)
+            cmaj[:2] = cm[:, k * S : k * S + wpad1]
+            if hard[k] is not None:
+                hseq, hqual, hrp, hst, ref_p, woff = hard[k]
+                hc = sem.pileup_channels(
+                    hseq, hqual, hrp, hst, np.ones(hseq.shape, bool),
+                    ref_p, woff, 0, wpad1, min_phred)
+                cmaj[:2] += hc.T[:2].astype(np.uint32)
+            outs.append(np.ascontiguousarray(cmaj.T[:Ws[k]]))
+        return outs
+
+    if interpret:
+        # Numpy twin of the batched 2-bit program (the single-window
+        # interpret path twins the 4-bit program; this one covers the
+        # 2-bit unpack → barrel shift → tile kernel → bitmap epilogue →
+        # candidate compaction geometry on CPU).
+        codes = np.zeros((max(n_tot, 1), L4), np.uint8)
+        for s_i, sh_bits in enumerate((0, 2, 4, 6)):
+            codes[:, s_i::4] = (seqpack[:max(n_tot, 1)] >> sh_bits) & 3
+        sh = (pos_p[:n_tot] % 128).astype(np.int64)
+        seq_a = np.zeros((Nb, LP2), np.uint8)
+        if n_tot:
+            cols = sh[:, None] + np.arange(L4, dtype=np.int64)[None, :]
+            seq_a[np.arange(n_tot)[:, None], cols] = (
+                codes[:n_tot] | (parity_p[:n_tot, None] << 5))
+        tiles = pk._pileup_tiles_nq2_interpret(
+            srtk, cntk, seq_a, ntiles=ntiles, T=T, HALO_L=HALO_L, LP=LP,
+            LP2=LP2, K=K)
+        counts8 = tiles.transpose(1, 0, 2).reshape(8, W_tot)
+        is_c = np.unpackbits(isc_all)[:W_tot] != 0
+        is_g = np.unpackbits(isg_all)[:W_tot] != 0
+        meth = np.where(is_c, counts8[0], np.where(is_g, counts8[2], 0))
+        unmeth = np.where(is_c, counts8[1], np.where(is_g, counts8[3], 0))
+        cm_full = np.stack([meth, unmeth]).astype(np.uint32)
+        if compact_idx is not None:
+            sel_np = cm_full[:, compact_idx]  # the compaction round trip
+            cm_full = np.zeros((2, W_tot), np.uint32)
+            cm_full[:, compact_idx] = sel_np
+        return lambda: finalize_common(cm_full)
+
+    import os as _os
+    import time as _time
+
+    profile = _os.environ.get("MDTPU_PROFILE_DISPATCH") == "1"
+    t0 = _time.perf_counter() if profile else 0.0
+    sat_bits = _V3_SAT["bits"]
+    blob_u8 = np.concatenate([seqpack.reshape(-1), shp, isc_all, isg_all])
+    hd = _HARD_DUMMIES.get(L)
+    if hd is None:
+        hd = tuple(jnp.asarray(a) for a in (
+            np.zeros((1, L), np.uint8), np.zeros((1, L), np.uint8),
+            np.full((1, L), -2, np.int32), np.ones(1, np.int32),
+            np.zeros(1, bool)))
+        _HARD_DUMMIES[L] = hd
+    statics = dict(Nb=Nb, Lq=Lq, LP2=LP2, L4=L4, ntiles=ntiles, T=T,
+                   HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, W=W_tot,
+                   nbits=nbits_tot, ref_static=0, HAS_HARD=False,
+                   min_phred=min_phred, NCAND=NCAND)
+    args = (jnp.asarray(blob_u8), jnp.asarray(meta_i32), jnp.int32(0), *hd)
+    sel, overflow = _fused_window_pregated2(*args, SAT_BITS=sat_bits,
+                                            **statics)
+    try:
+        sel.copy_to_host_async()
+        overflow.copy_to_host_async()
+    except (AttributeError, RuntimeError):
+        pass
+    if profile:
+        t1 = _time.perf_counter()
+
+    def finalize():
+        if profile:
+            tf0 = _time.perf_counter()
+        sel_h, ovf_h = jax.device_get((sel, overflow))
+        if profile:
+            import sys as _sys
+
+            _sys.stderr.write(
+                f"[v3g] Kw={Kw} n={n_tot} Nb={Nb} GMAX={GMAX} "
+                f"dispatch={t1 - t0:.3f}s "
+                f"get={_time.perf_counter() - tf0:.3f}s "
+                f"up={blob_u8.nbytes + meta_i32.nbytes} "
+                f"down={np.asarray(sel_h).nbytes}\n")
+        if bool(ovf_h):
+            if sat_bits == 8:
+                _V3_SAT["bits"] = 16
+            cm = np.asarray(jax.device_get(
+                _fused_window_pregated2_wide(*args, **statics)))
+            return finalize_common(cm.astype(np.uint32))
+        cm = np.zeros((2, W_tot), np.uint32)
+        sel_np = np.asarray(sel_h)
+        if compact_idx is not None:
+            cm[:, compact_idx] = sel_np[:, : len(compact_idx)]
+        else:
+            cm[:] = sel_np
+        return finalize_common(cm)
+
+    return finalize
+
+
+def _prep_v3_rows(cfg, batch, strand_arr, keep, kidx):
+    """Shared host prep for the v3 device programs: kidx row selection,
+    gapless classification, mate pairing and host overlap arbitration
+    (overlaps.c:54-119 via the native kernels). Returns
+    (seq, qual, refpos, pos, lq, st, xla_rows) with `qual` already
+    arbitrated — seq/refpos/pos are views when every row is kept, so the
+    caller's batch is never mutated (only qual is copied)."""
+    from ..io import native
+
+    if len(kidx) == batch.n:
+        seq = batch.seq
+        qual = batch.qual.copy()
+        refpos = batch.refpos
+        pos = batch.pos
+        lq = batch.l_qseq
+    else:
+        seq = batch.seq[kidx]
+        qual = batch.qual[kidx]
+        refpos = batch.refpos[kidx]
+        pos = batch.pos[kidx]
+        lq = batch.l_qseq[kidx]
+    st = strand_arr[kidx].astype(np.int32)
+
+    simple = native.v3_flags(seq, refpos, pos, lq)
+    if simple is None:
+        simple = _rows_gapless(refpos, pos, lq) & _rows_no_eq_base(seq, lq)
+    a_np, b_np = sem.pair_mates_batch(batch, kidx)
+    pair_simple = np.ones(len(a_np), bool)
+    if len(a_np):
+        pair_simple = simple[a_np] & simple[b_np]
+    xla_rows = np.zeros(len(kidx), bool)
+    xla_rows |= ~simple
+    if len(a_np):
+        xla_rows[a_np[~pair_simple]] = True
+        xla_rows[b_np[~pair_simple]] = True
+
+    a_t, b_t = sem.touching_pairs(batch.pos[kidx], batch.endpos[kidx],
+                                  a_np, b_np)
+    if len(a_t):
+        fb = native.arbitrate2(seq, qual, refpos, st, lq, simple, a_t, b_t)
+        if fb is None:
+            fb = native.arbitrate(seq, qual, refpos, st, a_t, b_t)
+        if fb is None:
+            sem.arbitrate_overlaps(seq, qual, refpos, st, a_t, b_t)
+        elif len(fb):
+            sem._arbitrate_pairs_loop(seq, qual, refpos, st,
+                                      np.asarray(a_t)[fb],
+                                      np.asarray(b_t)[fb])
+    return seq, qual, refpos, pos, lq, st, xla_rows
+
+
 def compute_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
                                  win_offset, win_start, win_end, rstrand=None,
                                  interpret=False):
@@ -1471,6 +1886,23 @@ def dispatch_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
     # final clamped window of each contig reuses the compiled kernels.
     W_fixed = _round_up(max(int(cfg.chunkSize) + 16, W), 512)
 
+    import os as _os
+
+    if _os.environ.get("MDTPU_FUSED", "v3") != "v2":
+        # v3: arbitration + phred gating on HOST (native kernel, exact),
+        # then the pre-gated nibble-packed program — ~5x less upload and no
+        # device-side pair plumbing. seq/qual here are kidx copies, so the
+        # in-place arbitration never touches the caller's batch.
+        seq, qual, refpos, pos, _lq, st, xla_rows = _prep_v3_rows(
+            cfg, batch, strand_arr, keep, kidx)
+        fin = _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
+                                 xla_rows, ref_window, win_start,
+                                 win_offset - win_start, W_fixed,
+                                 interpret=interpret)
+        if fin is None:
+            return None  # coverage skew: caller falls back to XLA dense
+        return WindowHandle(fn=lambda: fin()[:W])
+
     if len(kidx) == batch.n:
         # keep-all window (the common case): views of the batch arrays
         # instead of ~100 MB of fancy-index copies. Only qual is mutated
@@ -1507,36 +1939,6 @@ def dispatch_window_counters_fast(cfg, batch, strand_arr, keep, ref_window,
         xla_rows[b_np[~pair_simple]] = True
 
     counters = np.zeros((W, 4), dtype=np.uint32)
-
-    import os as _os
-
-    if _os.environ.get("MDTPU_FUSED", "v3") != "v2":
-        # v3: arbitration + phred gating on HOST (native kernel, exact),
-        # then the pre-gated nibble-packed program — ~5x less upload and no
-        # device-side pair plumbing. seq/qual here are kidx copies, so the
-        # in-place arbitration never touches the caller's batch.
-        from ..io import native
-
-        a_t, b_t = sem.touching_pairs(batch.pos[kidx], batch.endpos[kidx],
-                                      a_np, b_np)
-        if len(a_t):
-            fb = native.arbitrate2(seq, qual, refpos, st, lq, simple,
-                                   a_t, b_t)
-            if fb is None:
-                fb = native.arbitrate(seq, qual, refpos, st, a_t, b_t)
-            if fb is None:
-                sem.arbitrate_overlaps(seq, qual, refpos, st, a_t, b_t)
-            elif len(fb):
-                sem._arbitrate_pairs_loop(seq, qual, refpos, st,
-                                          np.asarray(a_t)[fb],
-                                          np.asarray(b_t)[fb])
-        fin = _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
-                                 xla_rows, ref_window, win_start,
-                                 win_offset - win_start, W_fixed,
-                                 interpret=interpret)
-        if fin is None:
-            return None  # coverage skew: caller falls back to XLA dense
-        return WindowHandle(fn=lambda: fin()[:W])
 
     if not interpret:
         fin = _fused_dispatch(cfg, seq, qual, refpos, pos, st, flag,
@@ -1924,6 +2326,16 @@ def make_device_backend(cfg):
         return dispatch(cfg, batch, strand_arr, keep, ref_window, win_offset,
                         win_start, win_end, rstrand).get()
 
+    def dispatch_group(cfg, items, pad_to=0):
+        """K-window batched dispatch; falls back to per-window dispatch
+        when the group preconditions fail (see dispatch_window_group)."""
+        if use_pallas and len(items) > 1:
+            hs = dispatch_window_group(cfg, items, pad_to=pad_to,
+                                       interpret=interpret)
+            if hs is not None:
+                return hs
+        return [dispatch(cfg, *it) for it in items]
+
     def prewarm(read_len: int, est_rows: int | None = None):
         """Compile + load the canonical v3 window program off the critical
         path (weak r3 #5): seeds the shape-bucket floors to the production
@@ -1943,9 +2355,7 @@ def make_device_backend(cfg):
             floor_nb = _nb_bucket(est_rows + 256)
         else:
             floor_nb = 131072
-        with _HWM_LOCK:
-            _V3_HWM["Nb"] = max(_V3_HWM["Nb"], floor_nb)
-            _V3_HWM["GMAX"] = max(_V3_HWM["GMAX"], 128)
+        group_k = int(os.environ.get("MDTPU_BATCH_WINDOWS", "4") or 1)
         L = max(int(read_len), 1)
         n = 2
         seq = np.full((n, L), 2, np.uint8)
@@ -1961,6 +2371,32 @@ def make_device_backend(cfg):
         # on short runs — pthread cancellation mid-C++-call aborts the
         # process ("FATAL: exception not rethrown", caught by the r4
         # hardware matrix). run_extract joins this thread before exiting.
+        if group_k > 1 and cfg.minOppositeDepth == 0:
+            # the run's windows go through the K-batched program; warm
+            # THAT shape (the single program only serves rare fallbacks)
+            if env_floor is not None:
+                gfloor = int(env_floor)
+            elif est_rows:
+                gfloor = _nb_bucket(group_k * est_rows + 256)
+            else:
+                gfloor = _nb_bucket(group_k * 131072)
+            with _HWM_LOCK:
+                _V3M_HWM["Nb"] = max(_V3M_HWM["Nb"], gfloor)
+                _V3_HWM["GMAX"] = max(_V3_HWM["GMAX"], 128)
+            wins = []
+            for k in range(group_k):
+                wins.append({"empty": False, "W": int(cfg.chunkSize),
+                             "seq": seq.copy(), "qual": qual.copy(),
+                             "refpos": refpos.copy(), "pos": pos.copy(),
+                             "st": st.copy(),
+                             "xla_rows": np.zeros(n, bool),
+                             "ref_window": ref_p, "win_start": 0,
+                             "woff_rel": -2})
+            _fused_dispatch_v3_multi(cfg, wins, W_fixed)
+            return
+        with _HWM_LOCK:
+            _V3_HWM["Nb"] = max(_V3_HWM["Nb"], floor_nb)
+            _V3_HWM["GMAX"] = max(_V3_HWM["GMAX"], 128)
         _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
                            np.zeros(n, bool), ref_p, 0, -2, W_fixed)
 

@@ -256,3 +256,46 @@ def test_device_engine_thread_invariance(tmp_path):
         outs[tag] = rows(tmp_path / f"{tag}_CpG.bedGraph")
     assert outs["t1"] == outs["t1g3"] == outs["t4"]
     assert len(outs["t1"]) > 3
+
+
+def test_hybrid_steal_and_group_invariance(tmp_path):
+    """The r5 hybrid scheduler: host-compute steal workers (MDTPU_STEAL)
+    and K-window batched dispatch (MDTPU_BATCH_WINDOWS) must stay byte-
+    identical to the host engine across knob settings — any window may be
+    computed by either lane, grouped or single, in any interleaving."""
+    import subprocess, sys as _sys, numpy as np
+
+    rng = np.random.default_rng(13)
+    glen = 900
+    ref = "".join(rng.choice(list("ACGT"), glen))
+    write_fa(tmp_path / "g.fa", [("c", ref)])
+    recs = []
+    for k in range(120):
+        p = int(rng.integers(0, glen - 50))
+        seq = ref[p : p + 40].replace("C", "T") if k % 3 else ref[p : p + 40]
+        recs.append(dict(qname=f"r{k}", flag=0, tid=0, pos=p, seq=seq,
+                         mtid=-1, mpos=-1))
+    recs.sort(key=lambda r: r["pos"])
+    write_bam(tmp_path / "r.bam", [("c", glen)], recs)
+    r0 = md(["extract", "--chunkSize", "96", "g.fa", "r.bam", "-o", "host"],
+            tmp_path)
+    assert r0.returncode == 0, r0.stderr
+    host = rows(tmp_path / "host_CpG.bedGraph")
+    assert len(host) > 3
+    for tag, extra_env, args in (
+        ("s2", {"MDTPU_STEAL": "2", "MDTPU_BATCH_WINDOWS": "1"}, []),
+        ("g3", {"MDTPU_STEAL": "0", "MDTPU_BATCH_WINDOWS": "3"}, []),
+        ("sg", {"MDTPU_STEAL": "1", "MDTPU_BATCH_WINDOWS": "4"},
+         ["-@", "4"]),
+        ("g2", {"MDTPU_STEAL": "1", "MDTPU_BATCH_WINDOWS": "2",
+                "MDTPU_GETTERS": "1"}, ["-@", "2"]),
+    ):
+        env = dict(ENV, MDTPU_ENGINE="jax", MDTPU_FORCE_PLATFORM="cpu",
+                   **extra_env)
+        r = subprocess.run([_sys.executable, "-m", "methyldackel_tpu.cli",
+                            "extract", "--chunkSize", "96", *args,
+                            "g.fa", "r.bam", "-o", tag],
+                           cwd=tmp_path, env=env, capture_output=True,
+                           text=True)
+        assert r.returncode == 0, (tag, r.stderr)
+        assert rows(tmp_path / f"{tag}_CpG.bedGraph") == host, tag
