@@ -492,14 +492,21 @@ def ensure_bam_index(bam: BamFile, path: str) -> None:
         return  # CRAM indexes by .crai/container scan; SAM needs no index
     if getattr(bam, "_reader", None) is None:
         return  # raw (uncompressed) BAM: no BGZF voffsets, none needed
-    cands = [path + ".bai", os.path.splitext(path)[0] + ".bai"]
+    cands = [path + ".bai", os.path.splitext(path)[0] + ".bai",
+             path + ".csi", os.path.splitext(path)[0] + ".csi"]
     if any(os.path.exists(c) for c in cands):
-        return
+        return  # sam_index_load parity: .bai or .csi both satisfy it
     sys.stderr.write(f"Couldn't load the index for {path}, will attempt to build it.\n")
     from ..io.bai import build_bai
+    from ..io.csi import BAI_MAX_POS, build_csi
 
     try:
-        build_bai(bam, cands[0])
+        if max([0] + list(bam.header.lengths or [])) > BAI_MAX_POS:
+            # BAI's 14/5 binning cannot represent coordinates >= 2^29;
+            # build a CSI instead (htslib's bam_index_build does the same)
+            build_csi(bam, cands[2])
+        else:
+            build_bai(bam, cands[0])
     except OSError:
         sys.stderr.write(f"Couldn't build the index for {path}! File corrupted?\n")
         raise

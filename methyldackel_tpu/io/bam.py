@@ -406,13 +406,21 @@ class StreamingBamFile:
         self.path = path
         self.blocks = BGZFBlockIndex(path)
         self.header, self._first_rec_flat = parse_bam_header_flat(self.blocks)
-        cands = [path + ".bai", path.rsplit(".", 1)[0] + ".bai"]
-        bai = next((c for c in cands if os.path.exists(c)), None)
-        if bai is None:
+        cands = [path + ".bai", path.rsplit(".", 1)[0] + ".bai",
+                 path + ".csi", path.rsplit(".", 1)[0] + ".csi"]
+        idx = next((c for c in cands if os.path.exists(c)), None)
+        if idx is None:
             raise FileNotFoundError(
-                f"streaming mode needs an index next to {path} (.bai)"
+                f"streaming mode needs an index next to {path} (.bai/.csi)"
             )
-        self.bai = BaiFile(bai)
+        if idx.endswith(".csi"):
+            # sam_index_load accepts .csi transparently (extract.c:291);
+            # CsiFile exposes the same min_voffset surface
+            from .csi import CsiFile
+
+            self.bai = CsiFile(idx)
+        else:
+            self.bai = BaiFile(idx)
         # last inflated byte range, reused by the next (usually adjacent)
         # window so shared BGZF blocks are not re-inflated. Stored as ONE
         # tuple so concurrent -@ workers read/replace it atomically.

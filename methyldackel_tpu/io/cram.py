@@ -1637,16 +1637,25 @@ def open_alignment(path: str, fasta=None, prefer_stream: bool | None = None):
     from .bam import BamFile, StreamingBamFile
 
     if force or big:
-        has_bai = any(os.path.exists(c)
-                      for c in (path + ".bai", path.rsplit(".", 1)[0] + ".bai"))
-        if not has_bai:
+        has_idx = any(os.path.exists(c) for c in (
+            path + ".bai", path.rsplit(".", 1)[0] + ".bai",
+            path + ".csi", path.rsplit(".", 1)[0] + ".csi"))
+        if not has_idx:
             # Build it with O(chunk) memory (bam_index_build parity,
             # extract.c:1050-1057) — never inflate a huge file whole.
+            # Contigs beyond BAI's 2^29 ceiling get a CSI instead.
             import sys
             from .bai import build_bai_streaming
+            from .bgzf import BGZFBlockIndex
+            from .bam import parse_bam_header_flat
+            from .csi import BAI_MAX_POS, build_csi_streaming
 
             sys.stderr.write(
                 f"Couldn't load the index for {path}, will attempt to build it.\n")
-            build_bai_streaming(path, path + ".bai")
+            hdr0, _ = parse_bam_header_flat(BGZFBlockIndex(path))
+            if max([0] + list(hdr0.lengths or [])) > BAI_MAX_POS:
+                build_csi_streaming(path, path + ".csi")
+            else:
+                build_bai_streaming(path, path + ".bai")
         return StreamingBamFile(path)
     return BamFile(path)
