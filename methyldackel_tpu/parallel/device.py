@@ -2401,5 +2401,6 @@ def make_device_backend(cfg):
                            np.zeros(n, bool), ref_p, 0, -2, W_fixed)
 
     compute.dispatch = dispatch
+    compute.dispatch_group = dispatch_group
     compute.prewarm = prewarm
     return compute
