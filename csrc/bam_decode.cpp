@@ -42,6 +42,65 @@ inline uint16_t rd_u16(const uint8_t* p) {
 // cigar op consumes: read (bit0), ref (bit1) — MIDNSHP=X
 constexpr uint8_t kCigType[16] = {3, 1, 2, 2, 1, 0, 0, 3, 3, 0, 0, 0, 0, 0, 0, 0};
 
+// Long-CIGAR fallback (SAM spec §4.2.2 / htslib bam_read1): a record whose
+// real CIGAR exceeds the 16-bit n_cigar field stores a kSmN sentinel
+// (l_seq"S" refspan"N") in the cigar slot and the true ops in a CG:B,I aux
+// tag. Returns the CG op array (+count) when the sentinel matches, else
+// nullptr. Only called for n_cigar == 2 records, so the common decode path
+// pays one compare.
+const uint8_t* find_cg(const uint8_t* r, const uint8_t* rec_end,
+                       int32_t l_seq, int64_t* cnt_out) {
+  uint8_t l_read_name = r[8];
+  const uint8_t* cig = r + 32 + l_read_name;
+  if (cig + 8 > rec_end) return nullptr;
+  uint32_t c0 = rd_u32(cig), c1 = rd_u32(cig + 4);
+  if (c0 != (((uint32_t)l_seq << 4) | 4u) || (c1 & 0xF) != 3) return nullptr;
+  const uint8_t* t = cig + 8 + (l_seq + 1) / 2 + l_seq;
+  while (t + 3 <= rec_end) {
+    char t0 = (char)t[0], t1 = (char)t[1], typ = (char)t[2];
+    t += 3;
+    int64_t adv = 0;
+    switch (typ) {
+      case 'A': case 'c': case 'C': adv = 1; break;
+      case 's': case 'S': adv = 2; break;
+      case 'i': case 'I': case 'f': adv = 4; break;
+      case 'Z': case 'H': {
+        const uint8_t* z = t;
+        while (z < rec_end && *z) z++;
+        adv = (z - t) + 1;
+        break;
+      }
+      case 'B': {
+        if (t + 5 > rec_end) return nullptr;
+        char sub = (char)t[0];
+        int32_t cnt = rd_i32(t + 1);
+        int esz = (sub == 'c' || sub == 'C') ? 1
+                : (sub == 's' || sub == 'S') ? 2 : 4;
+        if (t0 == 'C' && t1 == 'G' && sub == 'I' && cnt > 0 &&
+            t + 5 + 4ll * cnt <= rec_end) {
+          *cnt_out = cnt;
+          return t + 5;
+        }
+        adv = 5 + (int64_t)esz * cnt;
+        break;
+      }
+      default: return nullptr;
+    }
+    t += adv;
+  }
+  return nullptr;
+}
+
+// Effective CIGAR op count for sizing (CG expansion included).
+inline int64_t eff_cigars(const uint8_t* r, const uint8_t* rec_end,
+                          uint16_t n_cigar, int32_t l_seq) {
+  if (n_cigar == 2) {
+    int64_t cgc = 0;
+    if (find_cg(r, rec_end, l_seq, &cgc)) return cgc;
+  }
+  return n_cigar;
+}
+
 bool scan(const uint8_t* d, int64_t len, int64_t p, RecSizes* out,
           std::vector<int64_t>* offsets) {
   while (p < len) {
@@ -55,7 +114,7 @@ bool scan(const uint8_t* d, int64_t len, int64_t p, RecSizes* out,
     int32_t l_seq = rd_i32(d + p + 4 + 16);
     out->n++;
     out->bases += l_seq;
-    out->cigars += n_cigar;
+    out->cigars += eff_cigars(r, d + p + 4 + bs, n_cigar, l_seq);
     out->qnames += l_read_name;  // includes NUL
     p += 4 + bs;
   }
@@ -99,7 +158,16 @@ void decode_range(const uint8_t* d, const std::vector<int64_t>& recs,
     q += l_read_name;
 
     const uint8_t* cig = q;
-    std::memcpy(cigar_flat + cig_off[i], cig, 4ull * n_cigar);
+    int64_t eff_n = n_cigar;
+    if (n_cigar == 2) {
+      int64_t cgc = 0;
+      const uint8_t* cg = find_cg(r, rec_end, l_seq, &cgc);
+      if (cg) {
+        cig = cg;  // long-CIGAR fallback: the CG:B,I ops are the real CIGAR
+        eff_n = cgc;
+      }
+    }
+    std::memcpy(cigar_flat + cig_off[i], cig, 4ull * eff_n);
     q += 4ull * n_cigar;
 
     // unpack 4-bit bases: one 256-entry LUT store covers two output bytes
@@ -125,7 +193,7 @@ void decode_range(const uint8_t* d, const std::vector<int64_t>& recs,
     int64_t cur = p0;
     int64_t ref_len = 0;
     int64_t k = 0;
-    for (uint16_t c = 0; c < n_cigar; ++c) {
+    for (int64_t c = 0; c < eff_n; ++c) {
       uint32_t w = rd_u32(cig + 4ull * c);
       uint32_t op = w & 0xF;
       uint32_t n = w >> 4;
@@ -242,8 +310,11 @@ int mdtpu_bam_decode(const char* data, int64_t len, int64_t start, int nthreads,
   base_off[0] = cig_off[0] = qn_off[0] = 0;
   for (int64_t i = 0; i < n; ++i) {
     const uint8_t* r = d + recs[i] + 4;
-    base_off[i + 1] = base_off[i] + rd_i32(r + 16);
-    cig_off[i + 1] = cig_off[i] + rd_u16(r + 12);
+    int32_t bs = rd_i32(d + recs[i]);
+    int32_t ls = rd_i32(r + 16);
+    base_off[i + 1] = base_off[i] + ls;
+    cig_off[i + 1] = cig_off[i]
+                   + eff_cigars(r, d + recs[i] + 4 + bs, rd_u16(r + 12), ls);
     qn_off[i + 1] = qn_off[i] + r[8];
     rec_off[i] = recs[i];
   }

@@ -291,7 +291,15 @@ class BamFile(AlignmentSoA):
             q += nbytes
             qual = np.frombuffer(data, dtype=np.uint8, count=l_seq, offset=q).copy()
             q += l_seq
-            xg, nh = _scan_tags(data, q, rec_end)
+            want_cg = (n_cigar == 2
+                       and int(cigar[0]) == ((l_seq << 4) | 4)
+                       and (int(cigar[1]) & 0xF) == 3)
+            xg, nh, cg = _scan_tags(data, q, rec_end, want_cg=want_cg)
+            if want_cg and cg is not None and len(cg):
+                # long-CIGAR fallback (SAM spec §4.2.2 / htslib bam_read1):
+                # a kSmN sentinel CIGAR with the real ops in the CG:B,I tag
+                # (>65535 ops cannot fit the 16-bit n_cigar field)
+                cigar = cg
 
             seq = nib_lut[seq_packed].reshape(-1)[:l_seq].copy()
             refpos, endpos = _expand_cigar(cigar, pos, l_seq)
@@ -599,8 +607,11 @@ def _expand_cigar(cigar: np.ndarray, pos: int, l_seq: int):
     return refpos, endpos
 
 
-def _scan_tags(data: bytes, p: int, end: int):
-    """Walk BAM aux tags; return (xg_code, nh_value).
+def _scan_tags(data: bytes, p: int, end: int, want_cg: bool = False):
+    """Walk BAM aux tags; return (xg_code, nh_value, cg_cigar).
+
+    cg_cigar: the CG:B,I long-CIGAR array (uint32 op-words) when
+    `want_cg` (the record carried the kSmN sentinel), else None.
 
     xg_code follows getStrand (common.c:86-88): only a value whose first
     character is 'C' or 'G' counts (Bismark's XG:Z:CT/GA both qualify via
@@ -608,6 +619,7 @@ def _scan_tags(data: bytes, p: int, end: int):
     """
     xg = 0
     nh = -1
+    cg = None
     while p + 3 <= end:
         tag = data[p : p + 2]
         typ = data[p + 2 : p + 3]
@@ -634,6 +646,9 @@ def _scan_tags(data: bytes, p: int, end: int):
             (cnt,) = struct.unpack_from("<i", data, p + 1)
             esz = {b"c": 1, b"C": 1, b"s": 2, b"S": 2, b"i": 4, b"I": 4, b"f": 4}[sub]
             val = None
+            if want_cg and tag == b"CG" and sub == b"I":
+                cg = np.frombuffer(data, dtype="<u4", count=cnt,
+                                   offset=p + 5)
             p += 5 + esz * cnt
         else:
             break  # unknown tag type; stop scanning
@@ -645,4 +660,4 @@ def _scan_tags(data: bytes, p: int, end: int):
                 xg = 2
         elif tag == b"NH" and typ in b"cCsSiI":
             nh = int(val)
-    return xg, nh
+    return xg, nh, cg
