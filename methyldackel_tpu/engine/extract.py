@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import sys
 import threading
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -621,13 +622,17 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
             return None
 
         with STATS.timer("window_prepare"):
-            if view is None:
-                view = bam.window_soa(tid, lpos, lend)
-            idx = view.overlapping(tid, lpos, lend)
-            batch = view.batch(idx, width=global_L)
-            strand_arr = sem.strand(batch.flag, batch.xg)
-            keep = prepare_window_reads(cfg, bam, batch, strand_arr, tid,
-                                        bed_state, ref_window, lpos2)
+            with STATS.timer("prep_view"):
+                if view is None:
+                    view = bam.window_soa(tid, lpos, lend)
+            with STATS.timer("prep_batch"):
+                idx = view.overlapping(tid, lpos, lend)
+                batch = view.batch(idx, width=global_L)
+            with STATS.timer("prep_filter"):
+                strand_arr = sem.strand(batch.flag, batch.xg)
+                keep = prepare_window_reads(cfg, bam, batch, strand_arr,
+                                            tid, bed_state, ref_window,
+                                            lpos2)
 
         covered = rstrand = None
         if cfg.bed is not None:
@@ -710,31 +715,44 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
     pipeline_depth = max(1, int(_os.environ.get("MDTPU_PIPELINE", "6") or 1))
     if dispatch_fn is not None and compute_lock is None \
             and pipeline_depth > 1:
-        # Device-engine scheduler (all -@ counts): a hybrid pipeline.
+        # Device-engine scheduler (all -@ counts): an ADAPTIVE hybrid
+        # pipeline over two byte-identical lanes.
         #
-        # - The MAIN thread preps windows and dispatches them to the
-        #   device, K at a time through dispatch_group (one program + one
-        #   readback per K windows amortizes the tunnel's fixed RPC costs
-        #   — VERDICT r4 #2), keeping `pipeline_depth` windows in flight.
+        # - The MAIN thread assigns each prefetched window to a lane by
+        #   expected completion time, preps device-lane windows and
+        #   dispatches them K at a time through dispatch_group (one
+        #   program + one readback per K windows amortizes the tunnel's
+        #   fixed RPC costs — VERDICT r4 #2).
         # - MDTPU_GETTERS drain threads perform the readbacks + emit
         #   concurrently (the tunnel pipelines concurrent readbacks ~2.75x
         #   better than serial — scripts/tunnel_probe.py).
         # - A decode-prefetch thread overlaps BAM decode with everything.
         # - MDTPU_STEAL host-compute workers (default: min(-@, cores-1))
-        #   pull windows from the same prefetch queue and run them through
-        #   the exact host engine (native kernels, GIL-released) — the
-        #   byte-identical second lane. This is the r4 "GIL wall" fix
-        #   turned upside down: instead of multiplying GIL-bound device
-        #   prep threads (measured ceiling ~1.2-1.3 cores), spare cores
-        #   run the fully-native host path and ADD their throughput; work
-        #   sharing self-balances because each lane pulls only as fast as
-        #   it finishes (replaces the -@ pthread pool of
-        #   extract.c:1479-1484).
+        #   run their windows through the exact host engine (native
+        #   kernels, GIL-released) — the byte-identical second lane
+        #   (replaces the -@ pthread pool of extract.c:1479-1484).
+        #
+        # Lane choice is ADAPTIVE (VERDICT r4 #1): per-lane service rates
+        # are estimated from a sliding window of completion timestamps and
+        # each window goes to the lane with the smaller (backlog+1)/rate.
+        # This is what makes the engine win in BOTH of this host's CPU
+        # phases: in slow-CPU phases the tunnel-bound device lane eats the
+        # queue; in fast-CPU phases the native host lane does, and the
+        # device only takes what it can service competitively — the
+        # previous fixed split handed the device lane 2/3 of the windows
+        # regardless, capping fast-phase throughput well below the pure
+        # host engine. Bootstrap seeds one K-window probe group to the
+        # device (its rate is unknowable until something drains — and the
+        # first drain may sit behind a 20-380 s per-process executable
+        # load, during which the host lane now keeps the whole box busy);
+        # afterwards a periodic cross-probe keeps both estimates fresh so
+        # mid-run phase drift flips the split back.
         #
         # A producer-assigned sequence number + reorder buffer keeps
         # output genome-ordered and the streams single-writer no matter
         # which lane computed a window.
         import queue as _queue
+        from collections import deque as _deque
 
         group_fn = getattr(compute, "dispatch_group", None)
         group_k = max(1, int(_os.environ.get("MDTPU_BATCH_WINDOWS", "4")
@@ -750,11 +768,76 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
 
         q: "_queue.Queue" = _queue.Queue(maxsize=pipeline_depth)
         pf_q: "_queue.Queue" = _queue.Queue(maxsize=group_k + 2)
+        steal_q: "_queue.Queue" = _queue.Queue(maxsize=max(1, n_steal))
         failure = []
         emit_lock = threading.Lock()
         pending: dict = {}
         next_emit = [0]
         pf_stop = []
+
+        # --- adaptive lane accounting (completions drive assignment) ---
+        lane_lock = threading.Lock()
+        dev_done: "_deque" = _deque(maxlen=16)    # completion timestamps
+        steal_done: "_deque" = _deque(maxlen=16)
+        lane = {"dev_inflight": 0, "steal_inflight": 0, "dev_assigned": 0,
+                "steal_assigned": 0, "steal_since_dev": 0,
+                "dev_since_steal": 0}
+        probe_every = max(8, 2 * group_k)
+
+        def _rate(times):
+            if len(times) < 2:
+                return None
+            dt = time.perf_counter() - times[0]
+            return len(times) / dt if dt > 0 else None
+
+        def decide():
+            """Pick the lane with the smaller expected completion time for
+            one more window; probe a starved lane periodically so its rate
+            estimate tracks this host's CPU-phase drift."""
+            if n_steal == 0:
+                return "dev"
+            with lane_lock:
+                if lane["dev_assigned"] < group_k:
+                    return "dev"      # bootstrap probe group
+                if lane["steal_assigned"] < n_steal:
+                    return "steal"    # seed every steal worker once
+                rd, rs = _rate(dev_done), _rate(steal_done)
+                if rd is None and rs is None:
+                    # nothing finished yet: balance inflight
+                    return ("steal" if lane["steal_inflight"]
+                            <= lane["dev_inflight"] else "dev")
+                if rd is None:
+                    return "steal"    # device still warming/loading
+                if rs is None:
+                    return "dev"
+                if lane["steal_since_dev"] >= probe_every:
+                    return "dev"      # rate-refresh probe
+                if lane["dev_since_steal"] >= probe_every:
+                    return "steal"
+                eta_d = (lane["dev_inflight"] + 1) / rd
+                eta_s = (lane["steal_inflight"] + 1) / rs
+                return "dev" if eta_d <= eta_s else "steal"
+
+        def note_assign(which):
+            with lane_lock:
+                lane[f"{which}_inflight"] += 1
+                lane[f"{which}_assigned"] += 1
+                if which == "dev":
+                    lane["steal_since_dev"] = 0
+                    lane["dev_since_steal"] += 1
+                else:
+                    lane["dev_since_steal"] = 0
+                    lane["steal_since_dev"] += 1
+
+        def note_done(which):
+            with lane_lock:
+                lane[f"{which}_inflight"] -= 1
+                (dev_done if which == "dev" else steal_done).append(
+                    time.perf_counter())
+
+        def note_cancel(which):  # window skipped before any compute
+            with lane_lock:
+                lane[f"{which}_inflight"] -= 1
 
         def post(seq_no, widx, result):
             with emit_lock:
@@ -789,6 +872,7 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                 seq_no, widx, s = item
                 try:
                     post(seq_no, widx, finish_window(s))
+                    note_done("dev")
                 except BaseException as exc:  # noqa: BLE001 — rethrown below
                     failure.append(exc)
                     repost_shutdown(q)
@@ -796,14 +880,15 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
 
         def steal_loop():
             while True:
-                item = pf_q.get()
+                item = steal_q.get()
                 if item is None:
-                    repost_shutdown(pf_q)  # propagate to siblings + main
+                    repost_shutdown(steal_q)  # propagate to siblings
                     return
                 seq_no, widx, (tid, lpos, lend), view = item
                 try:
                     p = prep_window(tid, lpos, lend, view=view)
                     if p is None:
+                        note_cancel("steal")
                         post(seq_no, widx, None)
                         continue
                     (name, tid2, lp, le, lpos2, ref_window, covered,
@@ -818,9 +903,10 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                                           covered)
                     STATS.count("windows_host_steal")
                     post(seq_no, widx, res)
+                    note_done("steal")
                 except BaseException as exc:  # noqa: BLE001 — rethrown below
                     failure.append(exc)
-                    repost_shutdown(pf_q)
+                    repost_shutdown(steal_q)
                     return
 
         def prefetch_loop():
@@ -914,32 +1000,52 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                 else:
                     got = pf_q.get()
                 if got is None:
-                    repost_shutdown(pf_q)  # let the steal workers exit
                     break
                 seq_no, widx, w, view = got
-                p = prep_window(*w, view=view)
-                if p is None:
-                    post(seq_no, widx, None)
-                    continue
-                pgroup.append((seq_no, widx, p))
-                if len(pgroup) >= group_k:
-                    flush_group()
+                placed = False
+                while not placed and not failure:
+                    if decide() == "steal":
+                        try:
+                            steal_q.put(got, timeout=0.2)
+                            note_assign("steal")
+                            placed = True
+                            continue
+                        except _queue.Full:
+                            # steal lane saturated: keep the device fed
+                            # while waiting, then re-decide
+                            if pgroup:
+                                flush_group()
+                            continue
+                    note_assign("dev")
+                    p = prep_window(*w, view=view)
+                    if p is None:
+                        note_cancel("dev")
+                        post(seq_no, widx, None)
+                    else:
+                        pgroup.append((seq_no, widx, p))
+                        if len(pgroup) >= group_k:
+                            flush_group()
+                    placed = True
             flush_group()
         finally:
             pf_stop.append(True)
             if failure:
-                # Unblock the producer and the steal workers: drop whatever
-                # remains (the run is aborting), then send a sentinel that
-                # the workers repost among themselves. On the normal path
-                # main already reposted the producer's sentinel — draining
-                # here would swallow it and deadlock the steal workers.
+                # Unblock the producer: drop whatever remains (the run is
+                # aborting).
                 while True:
                     try:
                         pf_q.get_nowait()
                     except _queue.Empty:
                         break
-                repost_shutdown(pf_q)
             pf_th.join(timeout=60)
+            # Steal workers drain their own queue; a single reposted
+            # sentinel walks through all of them.
+            while any(th.is_alive() for th in stealers):
+                try:
+                    steal_q.put(None, timeout=0.5)
+                    break
+                except _queue.Full:
+                    continue
             for th in stealers:
                 th.join()
             while any(th.is_alive() for th in getters):

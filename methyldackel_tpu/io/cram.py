@@ -1,4 +1,4 @@
-"""CRAM 3.0 container decoder + writer (no htslib).
+"""CRAM 3.0/3.1 container decoder + writer (no htslib).
 
 The reference accepts "a BAM or CRAM file" everywhere it reads alignments
 (MethylDackel.h:80, main.c:31, perRead.c:240) and gets CRAM support for free
@@ -16,7 +16,9 @@ from htslib. This module is this framework's own CRAM 3.0 implementation:
 Implemented surface (CRAM 3.0):
 - ITF8/LTF8 varints, container/block structure, CRC32 verification.
 - Block compression methods: raw, gzip, bzip2, lzma, rANS4x8 order 0/1
-  (io/rans4x8.py).
+  (io/rans4x8.py); CRAM 3.1 adds rANS Nx16 (io/ransnx16.py), adaptive
+  arithmetic (io/arith.py), fqzcomp quality (io/fqzcomp.py) and the name
+  tokeniser (io/tok3.py) — the full method 0-8 table.
 - Encodings: EXTERNAL, HUFFMAN (canonical, incl. the 0-bit constant form),
   BETA, GAMMA, BYTE_ARRAY_LEN, BYTE_ARRAY_STOP. GOLOMB/SUBEXP are not
   implemented (htslib never writes them) and raise.
@@ -41,8 +43,11 @@ import gzip as gzip_mod
 
 import numpy as np
 
+from . import arith
+from . import fqzcomp
 from . import rans4x8
 from . import ransnx16
+from . import tok3
 from .bam import AlignmentSoA, BamHeader, _expand_cigar
 from .fasta import FastaFile
 
@@ -204,15 +209,12 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         return rans4x8.uncompress(data)
     if method == RANSNX16:
         return ransnx16.uncompress(data, raw_size)
-    if method in (ARITH, FQZCOMP, TOK3):
-        name = {ARITH: "adaptive arithmetic (method 6)",
-                FQZCOMP: "fqzcomp quality (method 7)",
-                TOK3: "name tokeniser (method 8)"}[method]
-        raise ValueError(
-            f"cram: this file uses the CRAM 3.1 {name} block codec, which "
-            f"this reader does not implement yet (rANS Nx16, method 5, IS "
-            f"supported); re-encode with `samtools view --output-fmt-option "
-            f"version=3.0` or use codecs raw/gzip/bzip2/lzma/rANS")
+    if method == ARITH:
+        return arith.uncompress(data, raw_size)
+    if method == FQZCOMP:
+        return fqzcomp.uncompress(data, raw_size)
+    if method == TOK3:
+        return tok3.uncompress(data, raw_size)
     raise ValueError(f"cram: unsupported block compression method {method}")
 
 
@@ -232,6 +234,13 @@ def _compress(method: int, data: bytes) -> bytes:
     if method == RANSNX16:
         flags = ransnx16.ORDER1 if len(data) >= 1024 else 0
         return ransnx16.compress(data, flags)
+    if method == ARITH:
+        flags = arith.ORDER1 if len(data) >= 1024 else 0
+        return arith.compress(data, flags)
+    if method == FQZCOMP:
+        return fqzcomp.compress(data)
+    if method == TOK3:
+        return tok3.compress(data)
     raise ValueError(f"cram: unsupported block compression method {method}")
 
 

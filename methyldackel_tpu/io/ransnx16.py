@@ -82,6 +82,8 @@ RANS_L = 1 << 15  # lower state bound; 16-bit renormalization
 def read_uint7(buf, p):
     v = 0
     while True:
+        if p >= len(buf):
+            raise ValueError("uint7 varint overruns the buffer")
         c = buf[p]
         p += 1
         v = (v << 7) | (c & 0x7F)

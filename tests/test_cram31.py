@@ -115,13 +115,17 @@ def test_cram_version_gate(tmp_path):
         CramFile(str(bad), fasta=fa)
 
 
-def test_unsupported_31_codec_error_is_actionable():
-    with pytest.raises(ValueError, match="name tokeniser"):
-        _decompress(TOK3, b"\x00\x01\x02", 3)
-    with pytest.raises(ValueError, match="fqzcomp"):
+def test_genuinely_unknown_codec_rejected():
+    """Methods 5-8 now all decode (io/ransnx16, io/arith, io/fqzcomp,
+    io/tok3 — tests/test_cram31_codecs.py); only methods outside the
+    spec's table stay hard errors."""
+    with pytest.raises(ValueError, match="unsupported block compression"):
+        _decompress(9, b"\x00\x01\x02", 3)
+    # malformed method-6/7/8 payloads fail loudly, not with silent output
+    with pytest.raises(ValueError):
+        _decompress(TOK3, b"\x03\x01\x07", 3)
+    with pytest.raises(ValueError):
         _decompress(7, b"\x00", 1)
-    with pytest.raises(ValueError, match="arithmetic"):
-        _decompress(6, b"\x00", 1)
 
 
 def test_ransnx16_corrupt_streams_raise_valueerror():

@@ -90,11 +90,17 @@ class _ForeignEncoder:
         self.ext[cid] += data
 
 
-def _build_foreign_cram(tmp_path, v31=False):
+def _build_foreign_cram(tmp_path, v31=False, codecs68=False):
     """Independent-encoder CRAM fixture. v31=True writes a CRAM 3.1
     container: version bytes (3,1) and external/core blocks compressed
     with rANS Nx16 under a spread of transform flags (order-0/1, PACK,
-    RLE, X32, STRIPE) — the foreign-dialect gate for io/ransnx16.py."""
+    RLE, X32, STRIPE) — the foreign-dialect gate for io/ransnx16.py.
+    codecs68=True (implies v31) additionally routes RN through the name
+    tokeniser (method 8), QS through fqzcomp (method 7), and the core +
+    remaining external blocks through the adaptive arithmetic coder
+    (method 6) under a spread of its transform flags — the integration
+    gate for io/tok3.py, io/fqzcomp.py and io/arith.py."""
+    v31 = v31 or codecs68
     enc = _ForeignEncoder()
 
     # ---------- slice 1: proper pair, NF downstream mate ----------
@@ -269,9 +275,62 @@ def _build_foreign_cram(tmp_path, v31=False):
             out += _write_block(Block(EXTERNAL_DATA, cid, ext[cid], method))
         return out
 
-    body = comp_block
-    body += slice_blocks(1, 12, 2, slice1_core, slice1_ext, gzip_cid=7)
-    body += slice_blocks(13, 8, 2, slice2_core, slice2_ext, gzip_cid=1)
+    if codecs68:
+        from methyldackel_tpu.io import arith as _arith
+        from methyldackel_tpu.io import fqzcomp as _fqz
+        from methyldackel_tpu.io import tok3 as _tok3
+        from methyldackel_tpu.io.cram import ARITH, FQZCOMP, TOK3
+
+        arith_flags = [0, _arith.ORDER1, _arith.RLE,
+                       _arith.ORDER1 | _arith.RLE, _arith.EXT,
+                       _arith.STRIPE, _arith.CAT]
+
+        def block_m(method, ctype, cid, data, comp):
+            out = bytearray([method, ctype])
+            out += write_itf8(cid)
+            out += write_itf8(len(comp))
+            out += write_itf8(len(data))
+            out += comp
+            out += struct.pack("<I", zlib.crc32(bytes(out)) & 0xFFFFFFFF)
+            return bytes(out)
+
+        def slice_blocks_68(aln_start, aln_span, n_records, core, ext,
+                            qs_lens):
+            cids = sorted(ext)
+            shdr = bytearray()
+            shdr += write_itf8(0)
+            shdr += write_itf8(aln_start)
+            shdr += write_itf8(aln_span)
+            shdr += write_itf8(n_records)
+            shdr += write_ltf8(0)
+            shdr += write_itf8(1 + len(cids))
+            shdr += _write_array_itf8(cids)
+            shdr += write_itf8(-1)
+            shdr += b"\x00" * 16
+            out = _write_block(Block(SLICE_HEADER, 0, bytes(shdr), RAW))
+            out += block_m(ARITH, CORE_DATA, 0, core,
+                           _arith.compress(core, _arith.ORDER1))
+            for k, cid in enumerate(cids):
+                if cid == 1:      # RN: NUL-separated names -> tok3
+                    comp = _tok3.compress(ext[cid])
+                    out += block_m(TOK3, EXTERNAL_DATA, cid, ext[cid], comp)
+                elif cid == 7:    # QS -> fqzcomp with true record lengths
+                    comp = _fqz.compress(ext[cid], qs_lens)
+                    out += block_m(FQZCOMP, EXTERNAL_DATA, cid, ext[cid],
+                                   comp)
+                else:
+                    fl = arith_flags[k % len(arith_flags)]
+                    out += block_m(ARITH, EXTERNAL_DATA, cid, ext[cid],
+                                   _arith.compress(ext[cid], fl))
+            return out
+
+        body = comp_block
+        body += slice_blocks_68(1, 12, 2, slice1_core, slice1_ext, [8, 8])
+        body += slice_blocks_68(13, 8, 2, slice2_core, slice2_ext, [8, 6])
+    else:
+        body = comp_block
+        body += slice_blocks(1, 12, 2, slice1_core, slice1_ext, gzip_cid=7)
+        body += slice_blocks(13, 8, 2, slice2_core, slice2_ext, gzip_cid=1)
 
     out = bytearray()
     out += CRAM_MAGIC + bytes([3, 1 if v31 else 0]) + b"\x00" * 20
