@@ -776,19 +776,20 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
         pf_stop = []
 
         # --- adaptive lane accounting (completions drive assignment) ---
+        # Service rate per lane = 1 / EWMA of BUSY inter-completion
+        # intervals: each completion contributes (now - previous
+        # completion-or-busy-start of that lane), so idle gaps never count
+        # and a K-window group draining as one burst contributes one real
+        # dispatch-to-drain interval plus K-1 small ones — a throughput
+        # estimate, not a latency one.
         lane_lock = threading.Lock()
-        dev_done: "_deque" = _deque(maxlen=16)    # completion timestamps
-        steal_done: "_deque" = _deque(maxlen=16)
         lane = {"dev_inflight": 0, "steal_inflight": 0, "dev_assigned": 0,
                 "steal_assigned": 0, "steal_since_dev": 0,
-                "dev_since_steal": 0}
+                "dev_since_steal": 0, "dev_ewma": None, "steal_ewma": None,
+                "dev_busy_t": None, "steal_busy_t": None, "dev_lat": None}
+        dev_assign_t: dict = {}   # seq_no -> assign time (device lane)
         probe_every = max(8, 2 * group_k)
-
-        def _rate(times):
-            if len(times) < 2:
-                return None
-            dt = time.perf_counter() - times[0]
-            return len(times) / dt if dt > 0 else None
+        _EWMA_A = 0.3
 
         def decide():
             """Pick the lane with the smaller expected completion time for
@@ -797,47 +798,81 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
             if n_steal == 0:
                 return "dev"
             with lane_lock:
-                if lane["dev_assigned"] < group_k:
-                    return "dev"      # bootstrap probe group
                 if lane["steal_assigned"] < n_steal:
-                    return "steal"    # seed every steal worker once
-                rd, rs = _rate(dev_done), _rate(steal_done)
-                if rd is None and rs is None:
+                    return "steal"    # seed the steal workers FIRST (they
+                    # start instantly; the device probe needs prep+dispatch)
+                if lane["dev_assigned"] < group_k:
+                    # bootstrap probe group — but never at the cost of an
+                    # idle steal worker (workers + queue slots stay full)
+                    if lane["steal_inflight"] < 2 * n_steal:
+                        return "steal"
+                    return "dev"
+                ed, es = lane["dev_ewma"], lane["steal_ewma"]
+                if ed is None and es is None:
                     # nothing finished yet: balance inflight
                     return ("steal" if lane["steal_inflight"]
                             <= lane["dev_inflight"] else "dev")
-                if rd is None:
+                if ed is None:
                     return "steal"    # device still warming/loading
-                if rs is None:
+                if es is None:
                     return "dev"
                 if lane["steal_since_dev"] >= probe_every:
                     return "dev"      # rate-refresh probe
                 if lane["dev_since_steal"] >= probe_every:
                     return "steal"
-                eta_d = (lane["dev_inflight"] + 1) / rd
-                eta_s = (lane["steal_inflight"] + 1) / rs
+                # The device term includes its pipeline LATENCY: a window
+                # sent there completes no sooner than one full
+                # prep→dispatch→readback round trip, which is what makes
+                # the device the wrong home for a short run's tail windows
+                # even when its throughput is competitive.
+                lat = lane["dev_lat"] if lane["dev_lat"] is not None else ed
+                eta_d = lane["dev_inflight"] * ed + max(lat, ed)
+                eta_s = (lane["steal_inflight"] + 1) * es
                 return "dev" if eta_d <= eta_s else "steal"
 
-        def note_assign(which):
+        def note_assign(which, seq_no=None):
+            now = time.perf_counter()
             with lane_lock:
+                if lane[f"{which}_inflight"] == 0:
+                    lane[f"{which}_busy_t"] = now
                 lane[f"{which}_inflight"] += 1
                 lane[f"{which}_assigned"] += 1
                 if which == "dev":
                     lane["steal_since_dev"] = 0
                     lane["dev_since_steal"] += 1
+                    if seq_no is not None:
+                        dev_assign_t[seq_no] = now
                 else:
                     lane["dev_since_steal"] = 0
                     lane["steal_since_dev"] += 1
 
-        def note_done(which):
+        def note_done(which, seq_no=None):
+            now = time.perf_counter()
             with lane_lock:
                 lane[f"{which}_inflight"] -= 1
-                (dev_done if which == "dev" else steal_done).append(
-                    time.perf_counter())
+                t0 = lane[f"{which}_busy_t"]
+                lane[f"{which}_busy_t"] = (now if lane[f"{which}_inflight"]
+                                           else None)
+                if t0 is not None:
+                    dt = max(now - t0, 1e-4)
+                    e = lane[f"{which}_ewma"]
+                    lane[f"{which}_ewma"] = (dt if e is None
+                                             else (1 - _EWMA_A) * e
+                                             + _EWMA_A * dt)
+                if which == "dev" and seq_no is not None:
+                    ta = dev_assign_t.pop(seq_no, None)
+                    if ta is not None:
+                        la = now - ta
+                        e = lane["dev_lat"]
+                        lane["dev_lat"] = (la if e is None
+                                           else (1 - _EWMA_A) * e
+                                           + _EWMA_A * la)
 
-        def note_cancel(which):  # window skipped before any compute
+        def note_cancel(which, seq_no=None):  # skipped before any compute
             with lane_lock:
                 lane[f"{which}_inflight"] -= 1
+                if which == "dev" and seq_no is not None:
+                    dev_assign_t.pop(seq_no, None)
 
         def post(seq_no, widx, result):
             with emit_lock:
@@ -872,11 +907,34 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                 seq_no, widx, s = item
                 try:
                     post(seq_no, widx, finish_window(s))
-                    note_done("dev")
+                    note_done("dev", seq_no)
                 except BaseException as exc:  # noqa: BLE001 — rethrown below
                     failure.append(exc)
                     repost_shutdown(q)
                     return
+
+        def run_steal_item(item):
+            """Host-lane service of one window (steal workers AND the main
+            thread under backpressure — work conservation)."""
+            seq_no, widx, (tid, lpos, lend), view = item
+            p = prep_window(tid, lpos, lend, view=view)
+            if p is None:
+                note_cancel("steal")
+                post(seq_no, widx, None)
+                return
+            (name, tid2, lp, le, lpos2, ref_window, covered,
+             batch, strand_arr, keep, rstrand) = p
+            with STATS.timer("window_compute_steal"):
+                counters = compute_window_counters_host(
+                    cfg, batch, strand_arr, keep, ref_window,
+                    lpos2, lp, le, rstrand)
+            with STATS.timer("window_emit"):
+                res = emit_window(cfg, name, tid2, lp, le, lpos2,
+                                  ref_window, np.asarray(counters),
+                                  covered)
+            STATS.count("windows_host_steal")
+            post(seq_no, widx, res)
+            note_done("steal")
 
         def steal_loop():
             while True:
@@ -884,26 +942,8 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                 if item is None:
                     repost_shutdown(steal_q)  # propagate to siblings
                     return
-                seq_no, widx, (tid, lpos, lend), view = item
                 try:
-                    p = prep_window(tid, lpos, lend, view=view)
-                    if p is None:
-                        note_cancel("steal")
-                        post(seq_no, widx, None)
-                        continue
-                    (name, tid2, lp, le, lpos2, ref_window, covered,
-                     batch, strand_arr, keep, rstrand) = p
-                    with STATS.timer("window_compute_steal"):
-                        counters = compute_window_counters_host(
-                            cfg, batch, strand_arr, keep, ref_window,
-                            lpos2, lp, le, rstrand)
-                    with STATS.timer("window_emit"):
-                        res = emit_window(cfg, name, tid2, lp, le, lpos2,
-                                          ref_window, np.asarray(counters),
-                                          covered)
-                    STATS.count("windows_host_steal")
-                    post(seq_no, widx, res)
-                    note_done("steal")
+                    run_steal_item(item)
                 except BaseException as exc:  # noqa: BLE001 — rethrown below
                     failure.append(exc)
                     repost_shutdown(steal_q)
@@ -1003,6 +1043,7 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                     break
                 seq_no, widx, w, view = got
                 placed = False
+                full_hits = 0
                 while not placed and not failure:
                     if decide() == "steal":
                         try:
@@ -1011,22 +1052,43 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                             placed = True
                             continue
                         except _queue.Full:
-                            # steal lane saturated: keep the device fed
-                            # while waiting, then re-decide
+                            # steal lane saturated: keep the device fed,
+                            # then (work conservation) serve the window on
+                            # THIS thread instead of idling on a full queue
+                            full_hits += 1
                             if pgroup:
                                 flush_group()
+                                continue
+                            if full_hits >= 2:
+                                note_assign("steal")
+                                run_steal_item(got)
+                                placed = True
                             continue
-                    note_assign("dev")
+                    note_assign("dev", seq_no)
                     p = prep_window(*w, view=view)
                     if p is None:
-                        note_cancel("dev")
+                        note_cancel("dev", seq_no)
                         post(seq_no, widx, None)
                     else:
                         pgroup.append((seq_no, widx, p))
-                        if len(pgroup) >= group_k:
+                        # the FIRST group flushes at 2 windows (padded to
+                        # the full group shape) so the probe round-trips —
+                        # and the rate/latency estimates exist — sooner
+                        flush_at = (2 if lane["dev_ewma"] is None
+                                    else group_k)
+                        if len(pgroup) >= min(flush_at, group_k):
                             flush_group()
                     placed = True
             flush_group()
+            # Stream ended: help the steal workers finish their backlog
+            # instead of idling (the sentinel goes in AFTER these items, in
+            # the finally block, so nothing is lost).
+            while not failure:
+                try:
+                    item = steal_q.get_nowait()
+                except _queue.Empty:
+                    break
+                run_steal_item(item)
         finally:
             pf_stop.append(True)
             if failure:
