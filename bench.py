@@ -224,6 +224,11 @@ def bench_e2e_fused(batch, ref_ascii, W, iters, batches=None):
     sts = [sem.strand(b.flag, b.xg) for b in pool]
     st = sts[0]
     depth = int(os.environ.get("MDTPU_PIPELINE", "3"))
+    # Production shape: K windows batched per dispatch (dispatch_group —
+    # one program + one readback per K windows amortizes the tunnel's
+    # fixed RPC costs, VERDICT r4 #2). MDTPU_BATCH_WINDOWS=1 restores the
+    # per-window dispatch for comparison/sweeps.
+    group_k = max(1, int(os.environ.get("MDTPU_BATCH_WINDOWS", "4")))
 
     def dispatch(i):
         b = pool[i % len(pool)]
@@ -232,8 +237,20 @@ def bench_e2e_fused(batch, ref_ascii, W, iters, batches=None):
         assert h is not None
         return h
 
+    def dispatch_group(i):
+        items = []
+        for k in range(group_k):
+            j = (i * group_k + k) % len(pool)
+            items.append((pool[j], sts[j], keep, ref_ascii, 0, 0, W, None))
+        hs = dev.dispatch_window_group(cfg, items, pad_to=group_k)
+        assert hs is not None and len(hs) == group_k
+        return hs
+
     for i in range(len(pool)):  # compile + warm every shape bucket once
         dispatch(i).get()
+    if group_k > 1:
+        for h in dispatch_group(0):  # warm the grouped program
+            h.get()
     # Same structure as run_extract at -@ 1: the main thread preps +
     # dispatches windows; ONE ordered drain thread performs the readbacks,
     # so each window's readback wall overlaps host prep of later windows.
@@ -253,12 +270,22 @@ def bench_e2e_fused(batch, ref_ascii, W, iters, batches=None):
     t0 = time.perf_counter()
     th = _threading.Thread(target=drain_loop)
     th.start()
-    for i in range(iters):
-        q.put(dispatch(i))
-    q.put(None)
-    th.join()
-    dt = (time.perf_counter() - t0) / iters
-    assert len(done) == iters
+    if group_k > 1:
+        n_groups = (iters + group_k - 1) // group_k
+        for i in range(n_groups):
+            for h in dispatch_group(i):
+                q.put(h)
+        q.put(None)
+        th.join()
+        dt = (time.perf_counter() - t0) / (n_groups * group_k)
+        assert len(done) == n_groups * group_k
+    else:
+        for i in range(iters):
+            q.put(dispatch(i))
+        q.put(None)
+        th.join()
+        dt = (time.perf_counter() - t0) / iters
+        assert len(done) == iters
 
     out = dispatch(0).get()  # exactness check against the first batch
     hq = batch.qual.copy()
@@ -443,7 +470,11 @@ def main():
     # compile-cache executable loads (a production run amortizes these
     # over a whole genome).
     if os.environ.get("MDTPU_BENCH_CLI", "1") != "0":
-        cli_pairs = int(os.environ.get("MDTPU_BENCH_CLI_PAIRS", 500_000))
+        # 1M pairs (2M reads, ~17 windows): long enough that the pipeline's
+        # steady state dominates the first-group fill and last-group drain
+        # (real WGBS inputs are 100M+ reads; 9-window runs over-weighted
+        # the tails in r4)
+        cli_pairs = int(os.environ.get("MDTPU_BENCH_CLI_PAIRS", 1_000_000))
         reps = int(os.environ.get("MDTPU_BENCH_CLI_REPS", 5))
         _d, fa, bam = make_cli_input(cli_pairs, L, 1 << 23)
         dev_engine = os.environ.get("MDTPU_BENCH_CLI_ENGINE", "jax")

@@ -768,7 +768,10 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
 
         q: "_queue.Queue" = _queue.Queue(maxsize=pipeline_depth)
         pf_q: "_queue.Queue" = _queue.Queue(maxsize=group_k + 2)
-        steal_q: "_queue.Queue" = _queue.Queue(maxsize=max(1, n_steal))
+        # one slot of lookahead beyond the worker count, so a worker that
+        # finishes while main is busy (inline compute, group dispatch)
+        # always finds its next window queued
+        steal_q: "_queue.Queue" = _queue.Queue(maxsize=max(2, n_steal + 1))
         failure = []
         emit_lock = threading.Lock()
         pending: dict = {}
@@ -801,9 +804,12 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                 if lane["steal_assigned"] < n_steal:
                     return "steal"    # seed the steal workers FIRST (they
                     # start instantly; the device probe needs prep+dispatch)
-                if lane["dev_assigned"] < group_k:
-                    # bootstrap probe group — but never at the cost of an
-                    # idle steal worker (workers + queue slots stay full)
+                if lane["dev_assigned"] < min(2, group_k):
+                    # bootstrap probe: TWO windows (one early flush, padded
+                    # to the group shape) — enough for rate + latency
+                    # estimates without handing a short file's worth of
+                    # windows to an unproven lane — and never at the cost
+                    # of an idle steal worker
                     if lane["steal_inflight"] < 2 * n_steal:
                         return "steal"
                     return "dev"
