@@ -766,6 +766,13 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
         n_steal = (max(0, int(steal_env)) if steal_env is not None
                    else min(n_threads, max(0, ncores - 1)))
 
+        # Materialize the window list so the tail guard knows how many
+        # windows remain (pure arithmetic + 3-base boundary peeks; ~3k
+        # entries for a human genome).
+        _win_list = list(win_iter)
+        win_iter = iter(_win_list)
+        n_windows_total = len(_win_list)
+
         q: "_queue.Queue" = _queue.Queue(maxsize=pipeline_depth)
         pf_q: "_queue.Queue" = _queue.Queue(maxsize=group_k + 2)
         # one slot of lookahead beyond the worker count, so a worker that
@@ -794,10 +801,19 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
         probe_every = max(8, 2 * group_k)
         _EWMA_A = 0.3
 
-        def decide():
-            """Pick the lane with the smaller expected completion time for
-            one more window; probe a starved lane periodically so its rate
-            estimate tracks this host's CPU-phase drift."""
+        def decide(remaining=None):
+            """Throughput-first lane choice. The host (steal) lane is kept
+            saturated — its capacity is the baseline the pure-host engine
+            would have — and the device pipeline takes the OVERFLOW while
+            its backlog stays within ~2 round trips. (A pure expected-
+            completion-time rule starves the device: the steal queue caps
+            its own backlog, so its ETA can never exceed a couple of
+            service times while the device always carries a full pipeline
+            latency.) A tail guard keeps the last few windows off the
+            device so a short file never ends waiting out one more
+            dispatch+readback the host lane could have finished sooner.
+            Periodic cross-probes keep both rate estimates tracking this
+            host's CPU-phase drift."""
             if n_steal == 0:
                 return "dev"
             with lane_lock:
@@ -814,27 +830,25 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                         return "steal"
                     return "dev"
                 ed, es = lane["dev_ewma"], lane["steal_ewma"]
-                if ed is None and es is None:
-                    # nothing finished yet: balance inflight
-                    return ("steal" if lane["steal_inflight"]
-                            <= lane["dev_inflight"] else "dev")
-                if ed is None:
-                    return "steal"    # device still warming/loading
-                if es is None:
-                    return "dev"
+                lat = lane["dev_lat"]
                 if lane["steal_since_dev"] >= probe_every:
                     return "dev"      # rate-refresh probe
                 if lane["dev_since_steal"] >= probe_every:
                     return "steal"
-                # The device term includes its pipeline LATENCY: a window
-                # sent there completes no sooner than one full
-                # prep→dispatch→readback round trip, which is what makes
-                # the device the wrong home for a short run's tail windows
-                # even when its throughput is competitive.
-                lat = lane["dev_lat"] if lane["dev_lat"] is not None else ed
-                eta_d = lane["dev_inflight"] * ed + max(lat, ed)
-                eta_s = (lane["steal_inflight"] + 1) * es
-                return "dev" if eta_d <= eta_s else "steal"
+                if ed is not None and es is not None and lat is not None \
+                        and remaining is not None:
+                    guard = min(8, max(2, int(lat / max(es, 1e-3))))
+                    if remaining <= guard:
+                        return "steal"
+                if lane["steal_inflight"] <= n_steal:
+                    return "steal"    # a worker (or its next slot) is free
+                if ed is None:
+                    # device still warming/loading: only the probe rides it
+                    return "dev" if lane["dev_inflight"] == 0 else "steal"
+                cap = 2 * max(lat if lat is not None else ed, group_k * ed)
+                if lane["dev_inflight"] * ed <= cap:
+                    return "dev"      # overflow into the device pipeline
+                return "steal"
 
         def note_assign(which, seq_no=None):
             now = time.perf_counter()
@@ -1048,10 +1062,12 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                 if got is None:
                     break
                 seq_no, widx, w, view = got
+                remaining = (n_windows_total - seq_no - 1
+                             if n_windows_total is not None else None)
                 placed = False
                 full_hits = 0
                 while not placed and not failure:
-                    if decide() == "steal":
+                    if decide(remaining) == "steal":
                         try:
                             steal_q.put(got, timeout=0.2)
                             note_assign("steal")

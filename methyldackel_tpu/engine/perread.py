@@ -8,6 +8,7 @@ throughput benchmarking, but the emitted rows come from this exact walker.
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -175,6 +176,7 @@ def run_perread(cfg, out) -> None:
     from ..parallel import select_perread_backend
 
     device_walker = select_perread_backend(cfg)
+    dispatch_fn = getattr(device_walker, "dispatch", None)
     fasta = FastaFile(cfg.FastaName)
     bam = open_alignment(cfg.BAMName, fasta)
     hdr = bam.header
@@ -223,10 +225,18 @@ def run_perread(cfg, out) -> None:
         hard = _has_indel_clip(view, idx)
         nm = np.zeros(len(idx), np.int64)
         nu = np.zeros(len(idx), np.int64)
+        fin = None
+        sub = None
         if (~hard).any():
             sub = np.nonzero(~hard)[0]
             batch = view.batch(idx[sub])
-            if device_walker is not None:
+            if dispatch_fn is not None:
+                # overlap this window's device reduce + readback with the
+                # caller's decode/pack of later windows (VERDICT r4 #9)
+                fin = dispatch_fn(
+                    batch.seq, batch.qual, batch.pos, batch.l_qseq,
+                    strands[sub], ref_window, lpos2, seq_len)
+            elif device_walker is not None:
                 nm[sub], nu[sub] = device_walker(
                     batch.seq, batch.qual, batch.pos, batch.l_qseq,
                     strands[sub], ref_window, lpos2, seq_len)
@@ -234,15 +244,22 @@ def run_perread(cfg, out) -> None:
                 nm[sub], nu[sub] = process_reads_gapless(
                     cfg, batch.seq, batch.qual, batch.pos, batch.l_qseq,
                     strands[sub], ref_window, lpos2, seq_len)
-        for k in np.nonzero(hard)[0]:
-            i = idx[k]
-            seq_codes, quals, _ = view.read_arrays(i)
-            nm[k], nu[k] = process_read(cfg, seq_codes, quals, view.cigar(i),
-                                        int(view.pos[i]), int(strands[k]),
-                                        ref_window, lpos2, seq_len)
-        return [add_read(view.qname[i], name, int(view.pos[i]),
-                         int(nm[k]), int(nu[k]))
-                for k, i in enumerate(idx)]
+
+        def finalize():
+            if fin is not None:
+                nm[sub], nu[sub] = fin()
+            for k in np.nonzero(hard)[0]:
+                i = idx[k]
+                seq_codes, quals, _ = view.read_arrays(i)
+                nm[k], nu[k] = process_read(cfg, seq_codes, quals,
+                                            view.cigar(i), int(view.pos[i]),
+                                            int(strands[k]), ref_window,
+                                            lpos2, seq_len)
+            return [add_read(view.qname[i], name, int(view.pos[i]),
+                             int(nm[k]), int(nu[k]))
+                    for k, i in enumerate(idx)]
+
+        return finalize if fin is not None else finalize()
 
     # perRead's scheduler claims windows WITHOUT the CpG/CHG boundary
     # adjustment (perRead.c:133-156 has no adjustBounds call); with -@ > 1
@@ -255,6 +272,8 @@ def run_perread(cfg, out) -> None:
     out_path = getattr(cfg, "out_path", None)
 
     def emit(widx, lines):
+        if callable(lines):
+            lines = lines()  # deferred device readback + row formatting
         if not lines:
             return
         if n_hosts == 1:
@@ -269,8 +288,24 @@ def run_perread(cfg, out) -> None:
         win_iter = ((i, w) for i, w in win_iter if i % n_hosts == host_id)
     n_threads = max(1, int(getattr(cfg, "nThreads", 1) or 1))
     if n_threads == 1:
-        for i, w in win_iter:
-            emit(i, process_window(*w))
+        if dispatch_fn is not None:
+            # keep a few windows' device reductions in flight so host
+            # decode/pack of window w+1..w+D overlaps window w's readback
+            from collections import deque as _deque
+
+            depth = max(1, int(os.environ.get("MDTPU_PIPELINE", "6") or 1))
+            inflight: "_deque" = _deque()
+            for i, w in win_iter:
+                while len(inflight) >= depth:
+                    j, res = inflight.popleft()
+                    emit(j, res)
+                inflight.append((i, process_window(*w)))
+            while inflight:
+                j, res = inflight.popleft()
+                emit(j, res)
+        else:
+            for i, w in win_iter:
+                emit(i, process_window(*w))
     else:
         from concurrent.futures import ThreadPoolExecutor
         from collections import deque

@@ -378,16 +378,22 @@ def make_perread_backend(cfg):
     host), the device does the per-read reduction, and the tiny [Nb]x2
     readback replaces the old ~100 MB/window raw seq+qual+ref upload
     (artifacts/perf_breakdown_r03.md: that path lost to host 10x).
-    Low-qual rows take the exact host chain walker."""
+    Low-qual rows take the exact host chain walker.
+
+    `.dispatch(...)` returns a finish() closure so the engine can overlap
+    the next window's decode/pack with this window's device reduce +
+    readback (round 5, VERDICT r4 #9 — the backend was fully synchronous,
+    serializing a tunnel round trip into every window)."""
     min_phred = int(cfg.minPhred)
 
-    def compute(seq, qual, pos, lq, strand_arr, ref_window, seq_start,
-                seq_len):
+    def dispatch(seq, qual, pos, lq, strand_arr, ref_window, seq_start,
+                 seq_len):
         from ..io import native as _native
 
         n, L = seq.shape
         if n == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+            z = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            return lambda: z
         rw = np.asarray(ref_window)
         Lq = (L + 3) // 4
         with _HWM_LOCK:
@@ -410,8 +416,10 @@ def make_perread_backend(cfg):
                 np.asarray(strand_arr, np.int32), dirv, seq_start,
                 min(seq_len, len(rw)), Lq, Nb, min_phred)
         if packed is None:
-            return _perread_legacy(cfg, seq, qual, pos, lq, strand_arr,
-                                   ref_window, seq_start, seq_len, min_phred)
+            res = _perread_legacy(cfg, seq, qual, pos, lq, strand_arr,
+                                  ref_window, seq_start, seq_len,
+                                  min_phred)
+            return lambda: res
         codes, haslow = packed
         nm_d, nu_d = _perread_reduce(jnp.asarray(codes), Lq=Lq)
         try:
@@ -419,18 +427,27 @@ def make_perread_backend(cfg):
             nu_d.copy_to_host_async()
         except (AttributeError, RuntimeError):
             pass
-        nm = np.asarray(jax.device_get(nm_d))[:n].astype(np.int64)
-        nu = np.asarray(jax.device_get(nu_d))[:n].astype(np.int64)
-        dirty = np.nonzero(haslow[:n])[0]
-        if len(dirty):
-            from ..engine.perread import process_reads_gapless
 
-            nm[dirty], nu[dirty] = process_reads_gapless(
-                cfg, np.ascontiguousarray(seq[dirty]),
-                np.ascontiguousarray(qual[dirty]), pos[dirty], lq[dirty],
-                strand_arr[dirty], ref_window, seq_start, seq_len)
-        return nm, nu
+        def finish():
+            nm = np.asarray(jax.device_get(nm_d))[:n].astype(np.int64)
+            nu = np.asarray(jax.device_get(nu_d))[:n].astype(np.int64)
+            dirty = np.nonzero(haslow[:n])[0]
+            if len(dirty):
+                from ..engine.perread import process_reads_gapless
 
+                nm[dirty], nu[dirty] = process_reads_gapless(
+                    cfg, np.ascontiguousarray(seq[dirty]),
+                    np.ascontiguousarray(qual[dirty]), pos[dirty],
+                    lq[dirty], strand_arr[dirty], ref_window, seq_start,
+                    seq_len)
+            return nm, nu
+
+        return finish
+
+    def compute(*args):
+        return dispatch(*args)()
+
+    compute.dispatch = dispatch
     return compute
 
 
@@ -1694,15 +1711,17 @@ def _fused_dispatch_v3_multi(cfg, wins, W_fixed, max_gmax=4096,
         the NCH=2 readback contract)."""
         outs = []
         for k in range(Kw):
-            cmaj = np.zeros((4, wpad1), np.uint32)
-            cmaj[:2] = cm[:, k * S : k * S + wpad1]
+            # build [W, 4] directly (channels 2-3 stay zero) — zeroing a
+            # full [4, wpad1] plane and transposing wrote ~3x the bytes
+            out = np.zeros((Ws[k], 4), np.uint32)
+            out[:, :2] = cm[:, k * S : k * S + Ws[k]].T
             if hard[k] is not None:
                 hseq, hqual, hrp, hst, ref_p, woff = hard[k]
                 hc = sem.pileup_channels(
                     hseq, hqual, hrp, hst, np.ones(hseq.shape, bool),
                     ref_p, woff, 0, wpad1, min_phred)
-                cmaj[:2] += hc.T[:2].astype(np.uint32)
-            outs.append(np.ascontiguousarray(cmaj.T[:Ws[k]]))
+                out[:, :2] += hc[: Ws[k], :2].astype(np.uint32)
+            outs.append(out)
         return outs
 
     if interpret:
