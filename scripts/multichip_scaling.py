@@ -57,8 +57,7 @@ def main():
     for dp in (1, 2, 4, 8):
         mesh = pm.make_mesh(dp, sp=1)
         n_pairs = PAIRS_PER_DEV * dp
-        batch = simulate_batch_fast(rng, ref_codes, n_pairs, L,
-                                    genome_len=W)
+        batch = simulate_batch_fast(rng, ref_codes, n_pairs, L)
         n = batch.n
         ovw = ((2 * L + 127) // 128) * 128
         step = pm.sharded_window_pipeline(mesh, wpad=W, ovw=ovw,
@@ -88,9 +87,18 @@ def main():
                         "reads_per_s_per_dev": round(reads_per_s / dp, 1)})
         print(json.dumps(results[-1]), flush=True)
 
-    base = results[0]["reads_per_s_per_dev"]
+    # On virtual devices the dp shards SHARE this host's 2 cores, so
+    # per-device rates necessarily fall ~1/dp and classic weak-scaling
+    # efficiency is unmeasurable. What IS measurable and falsifiable:
+    # sharding OVERHEAD — wall(dp) / (dp * wall(1)) at fixed per-device
+    # load. >1 would mean the sharded program serializes or duplicates
+    # work somewhere (a gather to one device, a replicated recompute);
+    # ~1 means per-device compute stays constant and the psum merge is
+    # the only cross-device term (and it costs ~nothing even when
+    # CPU-emulated, which upper-bounds the ICI version).
+    base = results[0]["step_s"]
     for r in results:
-        r["weak_scaling_eff"] = round(r["reads_per_s_per_dev"] / base, 3)
+        r["sharding_overhead"] = round(r["step_s"] / (r["dp"] * base), 3)
 
     # --- ICI byte model: ring all-reduce of the [W, 4] u32 counters ---
     counter_bytes = W * 4 * 4
@@ -110,8 +118,12 @@ def main():
         "ici_model": model,
         "read_tensor_mb_per_100k_reads": read_mb_per_100k,
         "notes": "virtual 8-device CPU mesh (no multi-chip hardware in "
-                 "this environment); weak scaling at fixed per-device "
-                 "read load; psum = ring all-reduce of [W,4] u32",
+                 "this environment); fixed per-device read load; the dp "
+                 "shards share 2 physical cores so per-device rates fall "
+                 "~1/dp by construction — the falsifiable number is "
+                 "sharding_overhead = wall(dp)/(dp*wall(1)), ~1.0 "
+                 "meaning zero serialization/duplication as dp grows; "
+                 "psum = ring all-reduce of [W,4] u32",
     }
     out_path = sys.argv[1] if len(sys.argv) > 1 else \
         os.path.join(ROOT, "artifacts", "multichip_scaling_r05.json")
