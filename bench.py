@@ -529,6 +529,33 @@ def main():
             result["cli_mesh_reads_per_s"] = round(
                 cli_n / float(np.median(times["mesh"])), 1)
 
+    # -@ scaling table (VERDICT r4 #1), DRIVER-CAPTURED: the same CLI input
+    # at -@ 2 and -@ 4 for jax vs host, ≥4 passes, order rotated per
+    # (pass, thread-count), medians + per-pass pairwise ratios. The -@1
+    # cells are the cli_* numbers above (5 reps, same protocol).
+    if os.environ.get("MDTPU_BENCH_CLI", "1") != "0" \
+            and os.environ.get("MDTPU_BENCH_AT", "1") != "0":
+        at_reps = int(os.environ.get("MDTPU_BENCH_AT_REPS", 4))
+        at_counts = tuple(int(x) for x in
+                          os.environ.get("MDTPU_BENCH_AT_COUNTS",
+                                         "2,4").split(","))
+        cli_pairs = int(os.environ.get("MDTPU_BENCH_CLI_PAIRS", 1_000_000))
+        _d, fa, bam = make_cli_input(cli_pairs, L, 1 << 23)
+        at_n = 2 * cli_pairs
+        for ti, threads in enumerate(at_counts):
+            tj, th = [], []
+            for rep in range(at_reps):
+                order = (("jax", "host") if (rep + ti) % 2 == 0
+                         else ("host", "jax"))
+                for eng in order:
+                    (tj if eng == "jax" else th).append(
+                        run_cli(fa, bam, eng, threads=threads))
+            jm = at_n / float(np.median(tj))
+            hm = at_n / float(np.median(th))
+            result[f"cli_at{threads}_reads_per_s"] = round(jm, 1)
+            result[f"cli_at{threads}_host_reads_per_s"] = round(hm, 1)
+            result[f"cli_at{threads}_ratio"] = round(jm / hm, 3)
+
     # Subcommand device-backend rates (VERDICT r3 #8): mbias and perRead,
     # device vs host, interleaved medians on a smaller input.
     if os.environ.get("MDTPU_BENCH_SUBCMDS", "1") != "0":
