@@ -297,21 +297,31 @@ def bench_e2e_fused(batch, ref_ascii, W, iters, batches=None, group_k=None):
     host = sem.pileup_channels(batch.seq, hq, batch.refpos, st,
                                np.ones(batch.seq.shape, bool), ref_ascii,
                                0, 0, W, 5)
-    # Default config ships only the [meth, unmeth] channels back (the
-    # packed-readback contract: channels 2-3 are read by the emit path only
-    # under --minOppositeDepth, which flips the readback to NCH=4).
-    if not np.array_equal(np.asarray(out)[:, :2], host[:, :2]):
+    # The packed readback ships counters at the positions emit reads:
+    # CTX-enabled context positions (default config = CpG only since
+    # round 5; previously all ref-C/G). Channels 2-3 are read by the emit
+    # path only under --minOppositeDepth, which flips the readback to
+    # NCH=4.
+    # Mask positions use the dispatch's own geometry (wpad, guards) so the
+    # comparison set matches what the compacted readback actually ships.
+    wpad = ((W + 16 + 511) // 512) * 512
+    refp = np.zeros(wpad, np.uint8)
+    n0 = min(len(ref_ascii), wpad)
+    refp[:n0] = np.asarray(ref_ascii)[:n0]
+    def cand_for(c):
+        m = dev._ctx_mask_np(refp == ord("C"), refp == ord("G"),
+                             dev._ctx_code(c), wpad)
+        return np.nonzero(m[:W])[0]
+    cand = cand_for(cfg)
+    if not np.array_equal(np.asarray(out)[cand, :2], host[cand, :2]):
         raise AssertionError("fused e2e pipeline diverges from host semantics")
     cfg4 = Config()
     cfg4.chunkSize = W
     cfg4.minOppositeDepth = 3
     out4 = dev.compute_window_counters_fast(cfg4, batch, st, keep,
                                             ref_ascii, 0, 0, W)
-    # The packed readback ships counters at context-candidate positions
-    # (ref base C/G) only — the sole positions the emit path ever reads.
-    refw = np.asarray(ref_ascii)[:W]
-    cand = (refw == ord("C")) | (refw == ord("G"))
-    if not np.array_equal(np.asarray(out4)[cand], host[cand]):
+    cand4 = cand_for(cfg4)
+    if not np.array_equal(np.asarray(out4)[cand4], host[cand4]):
         raise AssertionError("fused e2e 4-channel path diverges from host semantics")
     return dt
 

@@ -584,8 +584,20 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
             glen = max(1, sum(getattr(hdr, "lengths", []) or [1]))
             est = int(bam.n_reads * min(1.0, (cfg.chunkSize + global_L)
                                         / glen))
+            # A reference sample lets the prewarm seed the readback
+            # shape-bucket floor to this genome's context density (the
+            # candidate-compacted readback's size is genome-dependent).
+            ref_sample = None
+            try:
+                names = getattr(hdr, "names", []) or []
+                lens = getattr(hdr, "lengths", []) or []
+                if names and lens:
+                    ref_sample = fasta.fetch(
+                        names[0], 0, min(int(lens[0]), 1 << 20))
+            except Exception:
+                ref_sample = None
             _prewarm_th = threading.Thread(target=prewarm_fn,
-                                           args=(global_L, est),
+                                           args=(global_L, est, ref_sample),
                                            daemon=True)
             _prewarm_th.start()
         else:

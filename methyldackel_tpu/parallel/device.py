@@ -856,14 +856,15 @@ def _fused_window_wide(*args, **statics):
 
 _V3_STATICS = ("Nb", "Lh", "LP2", "L2", "ntiles", "T", "HALO_L", "LP", "K",
                "GMAX", "W", "ref_static", "NCH", "HAS_HARD", "min_phred",
-               "NCAND", "SAT_BITS")
+               "NCAND", "CTX", "SLOT", "SAT_BITS")
 
 
 @functools.partial(jax.jit, static_argnames=_V3_STATICS)
 def _fused_window_pregated(blob_u8, meta_i32, woff_rel, hseq, hqual,
                            hrefpos, hstrand, hkeep, *, Nb, Lh, LP2, L2,
                            ntiles, T, HALO_L, LP, K, GMAX, W, ref_static,
-                           NCH, HAS_HARD, min_phred, SAT_BITS, NCAND=0):
+                           NCH, HAS_HARD, min_phred, SAT_BITS, NCAND=0,
+                           CTX=7, SLOT=0):
     """The v3 fast-window program for PRE-GATED reads. The host has already
     run mate-overlap arbitration (native kernel, bit-equal to the C) and
     zeroed the base code of every base with qual < minPhred, so this
@@ -921,14 +922,16 @@ def _fused_window_pregated(blob_u8, meta_i32, woff_rel, hseq, hqual,
     sel = full[:NCH]
     if NCAND:
         # candidate-compacted readback (see _v32_core): emit only reads
-        # counters at ref-C/G positions, and with minOppositeDepth > 0 the
-        # 4-channel values are exact at exactly those positions (the
-        # packed-readback contract). Indices derived on device; host
-        # scatters back by its own candidate list.
+        # counters at CTX-enabled context positions, and with
+        # minOppositeDepth > 0 the 4-channel values are exact at exactly
+        # those positions (the packed-readback contract). Indices derived
+        # on device; host scatters back by its own identical mask.
         col = jax.lax.broadcasted_iota(jnp.int32, (W,), 0) - woff_rel
         inb = (col >= 0) & (col < ref_static)
         rb = jnp.where(inb, ref_p[jnp.clip(col, 0, ref_static - 1)], 0)
-        mask = (rb == np.uint8(REF_C)) | (rb == np.uint8(REF_G))
+        cbits = rb == np.uint8(REF_C)
+        gbits = rb == np.uint8(REF_G)
+        mask = _ctx_mask_jnp(cbits, gbits, CTX, SLOT if SLOT else W)
         idx = jnp.nonzero(mask, size=NCAND, fill_value=0)[0]
         sel = jnp.take(sel, idx, axis=1)
     if SAT_BITS == 8:
@@ -938,12 +941,12 @@ def _fused_window_pregated(blob_u8, meta_i32, woff_rel, hseq, hqual,
     return sel.astype(jnp.uint16), overflow
 
 
-@functools.partial(jax.jit, static_argnames=_V3_STATICS[:-2] + ("min_phred",))
+@functools.partial(jax.jit, static_argnames=_V3_STATICS[:-1])
 def _fused_window_pregated_wide(blob_u8, meta_i32, woff_rel, hseq,
                                 hqual, hrefpos, hstrand, hkeep, *, Nb, Lh,
                                 LP2, L2, ntiles, T, HALO_L, LP, K, GMAX, W,
                                 ref_static, NCH, HAS_HARD, min_phred,
-                                NCAND=0):
+                                NCAND=0, CTX=7, SLOT=0):
     """Overflow refetch: the full uint32 [4, W] channels (rare; dense —
     NCAND accepted for cache-key symmetry but unused)."""
     from ..ops import pileup_pallas as pk
@@ -981,7 +984,7 @@ def _fused_window_pregated_wide(blob_u8, meta_i32, woff_rel, hseq,
 
 _V32_STATICS = ("Nb", "Lq", "LP2", "L4", "ntiles", "T", "HALO_L", "LP", "K",
                 "GMAX", "W", "nbits", "ref_static", "HAS_HARD", "min_phred",
-                "NCAND", "SAT_BITS")
+                "NCAND", "CTX", "SLOT", "SAT_BITS")
 
 
 def _nb_bucket(need: int, floor: int = 0) -> int:
@@ -1000,9 +1003,110 @@ def _nb_bucket(need: int, floor: int = 0) -> int:
         b *= 2
 
 
+def _ctx_code(cfg) -> int:
+    """Static context selector for the candidate-compacted readback:
+    bit 0 = CpG, bit 1 = CHG, bit 2 = CHH; 7 = every C/G position.
+    cytosine_report reads ALL C/G positions (zero-coverage blanks included,
+    extract.c:461-510), so it pins the full set."""
+    if getattr(cfg, "cytosine_report", False):
+        return 7
+    return ((1 if cfg.keepCpG else 0) | (2 if cfg.keepCHG else 0)
+            | (4 if cfg.keepCHH else 0))
+
+
+def _ctx_mask_np(cb, gb, ctx: int, slot):
+    """Candidate mask over window coordinates from the C/G bit vectors:
+    positions whose reference context (classify_context's arithmetic,
+    common.c:49-82) is one of the ctx-selected types — the only positions
+    emit_window ever reads (its per-position reads are all gated by
+    ctx_kept = keep_vec[ctype]; engine/extract.py emit_window).
+
+    `slot` is an int (single window: period == data extent) or a
+    (period, data) pair (grouped windows: slots repeat every `period`
+    coords, each slot's bitmap data covering only its first `data`).
+    Positions within 2 of a slot start or 8 of its data end keep the full
+    C|G rule: their context can depend on reference bases outside the
+    bitmap domain (the 2 leading bases before win_start live in
+    ref_window but not in the bitmaps; the +2 lookahead of the last data
+    coords can fall past the extent), so the mask stays a provable
+    superset of what emit reads there.
+
+    MUST stay semantically identical to _ctx_mask_jnp — the host scatters
+    readback values by ITS mask while the device gathers by the jnp one.
+    """
+    cb = np.asarray(cb, bool)
+    gb = np.asarray(gb, bool)
+    if ctx == 7:
+        return cb | gb
+    period, data = slot if isinstance(slot, tuple) else (slot, slot)
+    W = len(cb)
+    g1 = np.zeros(W, bool)
+    g1[:-1] = gb[1:]
+    g2 = np.zeros(W, bool)
+    g2[:-2] = gb[2:]
+    c1 = np.zeros(W, bool)
+    c1[1:] = cb[:-1]
+    c2 = np.zeros(W, bool)
+    c2[2:] = cb[:-2]
+    m = np.zeros(W, bool)
+    if ctx & 1:
+        m |= (cb & g1) | (gb & c1)
+    if ctx & 2:
+        m |= (cb & ~g1 & g2) | (gb & ~c1 & c2)
+    if ctx & 4:
+        m |= (cb & ~g1 & ~g2) | (gb & ~c1 & ~c2)
+    pos = np.arange(W, dtype=np.int64) % period
+    guard = (pos < 2) | (pos >= data - 8)
+    return np.where(guard, cb | gb, m)
+
+
+def _ctx_mask_jnp(cb, gb, ctx: int, slot):
+    """Device twin of _ctx_mask_np (ctx/slot static; traced elementwise +
+    static shifts only — XLA-friendly, no dynamic shapes)."""
+    if ctx == 7:
+        return cb | gb
+    period, data = slot if isinstance(slot, tuple) else (slot, slot)
+    W = cb.shape[0]
+    false1 = jnp.zeros(1, bool)
+    false2 = jnp.zeros(2, bool)
+    g1 = jnp.concatenate([gb[1:], false1])
+    g2 = jnp.concatenate([gb[2:], false2])
+    c1 = jnp.concatenate([false1, cb[:-1]])
+    c2 = jnp.concatenate([false2, cb[:-2]])
+    m = jnp.zeros(W, bool)
+    if ctx & 1:
+        m = m | (cb & g1) | (gb & c1)
+    if ctx & 2:
+        m = m | (cb & ~g1 & g2) | (gb & ~c1 & c2)
+    if ctx & 4:
+        m = m | (cb & ~g1 & ~g2) | (gb & ~c1 & ~c2)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (W,), 0) % period
+    guard = (pos < 2) | (pos >= data - 8)
+    return jnp.where(guard, cb | gb, m)
+
+
+# NCAND ladder: fractions of the window total, each rounded up to 128.
+# Coarse on purpose — a run's windows share GC statistics, so nearly every
+# run compiles ONE bucket (prewarm seeds the floor from a reference
+# sample); the 5/8 top matches the r4-era full-C|G cap.
+_NCAND_FRACS = (1, 3, 6, 10)  # sixteenths
+
+
+def _ncand_bucket(count: int, wtot: int, floor: int = 0) -> int:
+    """Smallest ladder bucket ≥ max(count, floor); 0 = dense fallback
+    (count above the 5/8 cap — extraordinary GC)."""
+    need = max(count, floor, 1)
+    for f in _NCAND_FRACS:
+        b = _round_up(max(wtot * f // 16, 128), 128)
+        if b >= need:
+            return b
+    return 0
+
+
 def _v32_core(blob_u8, meta_i32, woff_rel, hseq, hqual, hrefpos,
               hstrand, hkeep, *, Nb, Lq, LP2, L4, ntiles, T, HALO_L, LP, K,
-              GMAX, W, nbits, ref_static, HAS_HARD, min_phred, NCAND=0):
+              GMAX, W, nbits, ref_static, HAS_HARD, min_phred, NCAND=0,
+              CTX=7, SLOT=0):
     """Shared trace of the 2-bit semantic window program: unpack 4
     codes/byte → barrel-shift phase alignment → 2-counter Pallas kernel →
     host-packed ref-mask epilogue (+ the dense hard-row path). Returns
@@ -1043,16 +1147,19 @@ def _v32_core(blob_u8, meta_i32, woff_rel, hseq, hqual, hrefpos,
                            jnp.int32(0), W, min_phred)  # [W, 4] uint32
         ch2 = ch2 + hc.T[:2]
     if NCAND:
-        # Candidate-compacted readback: only ref-C/G positions are ever
-        # read by emit, so gather their counters into a [2, NCAND] block
-        # (~44% fewer readback bytes at 50% GC). The candidate indices are
-        # derived ON DEVICE from the uploaded ref bitmaps — no index
-        # upload (the r3 attempt's cost, see _fused_window_pregated's
-        # docstring). Host scatters back by its own candidate list.
-        both = isc | isg
+        # Candidate-compacted readback: emit only reads positions whose
+        # context is CTX-enabled (default CpG-only ships ~1/8 of a random
+        # window's coords vs 1/2 for full C|G — round-5 readback cut; the
+        # r4 version always shipped every C/G position). The candidate
+        # indices are derived ON DEVICE from the uploaded ref bitmaps — no
+        # index upload (the r3 attempt's cost, see _fused_window_pregated's
+        # docstring). Host scatters back by its own identical mask
+        # (_ctx_mask_np / _ctx_mask_jnp must agree bit-for-bit).
         shifts = np.arange(7, -1, -1, dtype=np.uint8)
-        mask = (((both[:, None] >> shifts[None, :]) & 1) != 0).reshape(-1)
-        idx = jnp.nonzero(mask[:W], size=NCAND, fill_value=0)[0]
+        cbits = (((isc[:, None] >> shifts[None, :]) & 1) != 0).reshape(-1)
+        gbits = (((isg[:, None] >> shifts[None, :]) & 1) != 0).reshape(-1)
+        mask = _ctx_mask_jnp(cbits[:W], gbits[:W], CTX, SLOT if SLOT else W)
+        idx = jnp.nonzero(mask, size=NCAND, fill_value=0)[0]
         ch2 = jnp.take(ch2, idx, axis=1)  # [2, NCAND]
     return ch2
 
@@ -1090,7 +1197,7 @@ _HARD_DUMMIES: dict = {}
 # compiled programs (the first window sets the floor; at most one
 # escalation when a denser/taller window appears) instead of one per
 # power-of-two shape. Escalations monotonically raise the floor.
-_V3_HWM = {"Nb": 0, "GMAX": 0, "NH": 0}
+_V3_HWM = {"Nb": 0, "GMAX": 0, "NH": 0, "NCAND": {}, "NCANDG": {}}
 
 
 def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
@@ -1303,43 +1410,58 @@ def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
             parts.append(ref_p)
             rs2 = ref_static
         aux_u8 = np.concatenate(parts)
-        # candidate-compacted readback: gather ref-C/G positions only.
-        # NCAND = 5/8 of the window covers any realistic GC fraction; a
-        # window with more candidates falls back to the dense program.
-        cand_bytes = np.bitwise_or(rb[0], rb[1])
-        cand_idx = np.nonzero(
-            np.unpackbits(cand_bytes)[:wpad])[0].astype(np.int64)
-        NCAND = _round_up(wpad * 5 // 8, 128)
-        if len(cand_idx) > NCAND:
-            NCAND = 0  # extraordinary GC: dense readback
+        # candidate-compacted readback: gather only the positions emit
+        # reads (CTX-enabled context positions; default CpG-only ships
+        # ~1/8 of a random window's coords vs 1/2 for full C|G). NCAND is
+        # a coarse ladder bucket with a process-global high-water floor so
+        # a run compiles ONE program; a window above the 5/8 cap falls
+        # back to the dense program.
+        ctx = _ctx_code(cfg)
+        cand_idx = np.nonzero(_ctx_mask_np(
+            np.unpackbits(rb[0])[:wpad] != 0,
+            np.unpackbits(rb[1])[:wpad] != 0, ctx, wpad))[0].astype(np.int64)
+        with _HWM_LOCK:
+            floor = _V3_HWM["NCAND"].get(wpad, 0)
+            NCAND = _ncand_bucket(len(cand_idx), wpad, floor)
+            if NCAND:
+                _V3_HWM["NCAND"][wpad] = max(floor, NCAND)
+        if NCAND == 0:
+            compact_idx = None  # extraordinary GC: dense readback
         else:
             compact_idx = cand_idx
         statics = dict(Nb=Nb, Lq=Lq, LP2=LP2, L4=L4, ntiles=ntiles, T=T,
                        HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, W=wpad,
                        nbits=nbits, ref_static=rs2, HAS_HARD=HAS_HARD,
-                       min_phred=cfg.minPhred, NCAND=NCAND)
+                       min_phred=cfg.minPhred, NCAND=NCAND, CTX=ctx,
+                       SLOT=wpad)
         program, program_wide = _fused_window_pregated2, \
             _fused_window_pregated2_wide
     else:
         aux_u8 = np.concatenate([shp, ref_p])
         # candidate compaction for the 4-channel readback too (emit reads
-        # the 4 channels at ref-C/G positions only; see the NCH contract)
+        # the 4 channels at CTX-enabled context positions only; see the
+        # NCH contract)
+        ctx = _ctx_code(cfg)
         rb4 = native.v3_refbits(ref_p, woff_rel, wpad)
-        NCAND = _round_up(wpad * 5 // 8, 128)
         if rb4 is not None:
-            cand_idx = np.nonzero(
-                np.unpackbits(np.bitwise_or(rb4[0], rb4[1]))[:wpad]
-            )[0].astype(np.int64)
-            if len(cand_idx) > NCAND:
-                NCAND = 0
-            else:
+            cand_idx = np.nonzero(_ctx_mask_np(
+                np.unpackbits(rb4[0])[:wpad] != 0,
+                np.unpackbits(rb4[1])[:wpad] != 0, ctx,
+                wpad))[0].astype(np.int64)
+            with _HWM_LOCK:
+                floor = _V3_HWM["NCAND"].get(wpad, 0)
+                NCAND = _ncand_bucket(len(cand_idx), wpad, floor)
+                if NCAND:
+                    _V3_HWM["NCAND"][wpad] = max(floor, NCAND)
+            if NCAND:
                 compact_idx = cand_idx
         else:
             NCAND = 0
         statics = dict(Nb=Nb, Lh=Lh, LP2=LP2, L2=L2, ntiles=ntiles, T=T,
                        HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, W=wpad,
                        ref_static=ref_static, NCH=NCH, HAS_HARD=HAS_HARD,
-                       min_phred=cfg.minPhred, NCAND=NCAND)
+                       min_phred=cfg.minPhred, NCAND=NCAND, CTX=ctx,
+                       SLOT=wpad)
         program, program_wide = _fused_window_pregated, \
             _fused_window_pregated_wide
     blob_u8 = np.concatenate([seqpack.reshape(-1), aux_u8])
@@ -1691,12 +1813,21 @@ def _fused_dispatch_v3_multi(cfg, wins, W_fixed, max_gmax=4096,
         w.clear()
     del wins, live, per
 
-    cand_bytes = np.bitwise_or(isc_all, isg_all)
-    cand_idx = np.nonzero(
-        np.unpackbits(cand_bytes)[:W_tot])[0].astype(np.int64)
-    NCAND = _round_up(Kw * _round_up(wpad1 * 5 // 8, 128), 128)
-    if len(cand_idx) > NCAND:
-        NCAND = 0
+    # Per-slot context mask (period S, data extent wpad1: the guard bands
+    # sit at each window's own bitmap boundaries and shifts never bleed
+    # useful bits across slots — guard positions use the full C|G rule,
+    # and the inter-slot guard tiles carry no bits at all).
+    ctx = _ctx_code(cfg)
+    cand_idx = np.nonzero(_ctx_mask_np(
+        np.unpackbits(isc_all)[:W_tot] != 0,
+        np.unpackbits(isg_all)[:W_tot] != 0, ctx,
+        (S, wpad1)))[0].astype(np.int64)
+    with _HWM_LOCK:
+        floor = _V3_HWM["NCANDG"].get(W_tot, 0)
+        NCAND = _ncand_bucket(len(cand_idx), W_tot, floor)
+        if NCAND:
+            _V3_HWM["NCANDG"][W_tot] = max(floor, NCAND)
+    if NCAND == 0:
         compact_idx = None
     else:
         compact_idx = cand_idx
@@ -1770,7 +1901,8 @@ def _fused_dispatch_v3_multi(cfg, wins, W_fixed, max_gmax=4096,
     statics = dict(Nb=Nb, Lq=Lq, LP2=LP2, L4=L4, ntiles=ntiles, T=T,
                    HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, W=W_tot,
                    nbits=nbits_tot, ref_static=0, HAS_HARD=False,
-                   min_phred=min_phred, NCAND=NCAND)
+                   min_phred=min_phred, NCAND=NCAND, CTX=ctx,
+                   SLOT=(S, wpad1))
     args = (jnp.asarray(blob_u8), jnp.asarray(meta_i32), jnp.int32(0), *hd)
     sel, overflow = _fused_window_pregated2(*args, SAT_BITS=sat_bits,
                                             **statics)
@@ -2355,7 +2487,8 @@ def make_device_backend(cfg):
                 return hs
         return [dispatch(cfg, *it) for it in items]
 
-    def prewarm(read_len: int, est_rows: int | None = None):
+    def prewarm(read_len: int, est_rows: int | None = None,
+                ref_sample=None):
         """Compile + load the canonical v3 window program off the critical
         path (weak r3 #5): seeds the shape-bucket floors to the production
         bucket — sized from the input's expected reads-per-window when
@@ -2384,6 +2517,30 @@ def make_device_backend(cfg):
         st = np.ones(n, np.int32)
         W_fixed = _round_up(max(int(cfg.chunkSize) + 16, 1), 512)
         ref_p = np.zeros(256, np.uint8)
+        # Seed the NCAND shape-bucket floor from a reference sample: the
+        # candidate-compacted readback's size depends on the genome's
+        # context density (default CpG-only ships ~1/8 of a random
+        # window, ~1/32 of a CpG-depleted mammalian one), and the dummy
+        # dispatch below has a zero reference — without the floor it
+        # would warm the smallest bucket instead of the production one.
+        if ref_sample is not None and len(ref_sample) >= 4096:
+            rs = np.asarray(ref_sample, np.uint8)
+            m = _ctx_mask_np(rs == REF_C, rs == REF_G, _ctx_code(cfg),
+                             len(rs))
+            frac = float(np.count_nonzero(m)) / len(rs)
+            wpad1 = _round_up(W_fixed, 512)
+            b1 = _ncand_bucket(int(frac * wpad1 * 1.05) + 256, wpad1)
+            S = wpad1 + 512
+            W_tot = max(group_k, 1) * S
+            bg = _ncand_bucket(
+                max(group_k, 1) * int(frac * wpad1 * 1.05) + 256, W_tot)
+            with _HWM_LOCK:
+                if b1:
+                    _V3_HWM["NCAND"][wpad1] = max(
+                        _V3_HWM["NCAND"].get(wpad1, 0), b1)
+                if bg:
+                    _V3_HWM["NCANDG"][W_tot] = max(
+                        _V3_HWM["NCANDG"].get(W_tot, 0), bg)
         # Fire-and-forget: under axon, the dispatch alone triggers the
         # server-side compile/executable load; blocking on the readback
         # here would leave this thread inside a gRPC wait at process exit

@@ -114,6 +114,16 @@ def gen_synthetic(d):
         ("gc_rich_dense", ["gc_" + os.path.basename(fa),
                            "gc_" + os.path.basename(bam),
                            "-o", "vs4"], ["vs4_CpG.bedGraph"]),
+        # all three contexts on the 75%-GC genome: the C|G candidate mask
+        # (~75% of coords) exceeds the 5/8 NCAND cap, forcing the DENSE
+        # readback fallback — the CpG-only default now compacts here
+        # (~28% of coords), so this variant keeps the fallback validated
+        ("gc_rich_allctx", ["--CHH", "--CHG",
+                            "gc_" + os.path.basename(fa),
+                            "gc_" + os.path.basename(bam),
+                            "-o", "vs5"], ["vs5_CpG.bedGraph",
+                                           "vs5_CHG.bedGraph",
+                                           "vs5_CHH.bedGraph"]),
         ("bed_regions", ["-l", "regions.bed", os.path.basename(fa),
                          os.path.basename(bam), "-o", "vs2"],
          ["vs2_CpG.bedGraph"]),
