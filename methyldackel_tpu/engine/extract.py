@@ -837,7 +837,15 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                     # to the group shape) — enough for rate + latency
                     # estimates without handing a short file's worth of
                     # windows to an unproven lane — and never at the cost
-                    # of an idle steal worker
+                    # of an idle steal worker. BUT the bootstrap must not
+                    # stall forever: when the steal lane keeps pace with
+                    # decode its queue never backs up, steal_inflight never
+                    # reaches the threshold, and the device would idle for
+                    # the whole run on half-probed estimates (observed on a
+                    # 17-window streaming soak: 1 device window in 48 s).
+                    # The probe cadence override finishes the bootstrap.
+                    if lane["steal_since_dev"] >= probe_every:
+                        return "dev"
                     if lane["steal_inflight"] < 2 * n_steal:
                         return "steal"
                     return "dev"
@@ -1041,7 +1049,15 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
             grp = list(pgroup)
             pgroup.clear()
             with STATS.timer("window_dispatch"), trace("window_dispatch"):
-                if group_fn is not None and len(grp) > 1:
+                # SINGLE-window flushes (probe, decode-bound early flush,
+                # stream tail) ride the SAME padded group program as full
+                # groups: the single-window program is a different XLA
+                # shape whose per-process executable load (20-380 s,
+                # measured) would otherwise stall the producer thread the
+                # first time a probe hits it — observed as a 27 s
+                # mid-probe stall that also poisoned the device-lane rate
+                # estimate (perf_breakdown_r05.md, finding 5).
+                if group_fn is not None:
                     items = [(p[7], p[8], p[9], p[5], p[4], p[2], p[3],
                               p[10]) for (_s, _w, p) in grp]
                     handles = group_fn(cfg, items, pad_to=group_k)

@@ -2479,8 +2479,12 @@ def make_device_backend(cfg):
 
     def dispatch_group(cfg, items, pad_to=0):
         """K-window batched dispatch; falls back to per-window dispatch
-        when the group preconditions fail (see dispatch_window_group)."""
-        if use_pallas and len(items) > 1:
+        when the group preconditions fail (see dispatch_window_group).
+        A single window still rides the group program when pad_to pads it
+        to the standard group shape — the per-process executable load of
+        the OTHER (single-window) program shape would stall the caller
+        ~20-380 s the first time (probe windows hit exactly this)."""
+        if use_pallas and (len(items) > 1 or pad_to > len(items)):
             hs = dispatch_window_group(cfg, items, pad_to=pad_to,
                                        interpret=interpret)
             if hs is not None:
@@ -2559,6 +2563,12 @@ def make_device_backend(cfg):
             with _HWM_LOCK:
                 _V3M_HWM["Nb"] = max(_V3M_HWM["Nb"], gfloor)
                 _V3_HWM["GMAX"] = max(_V3_HWM["GMAX"], 128)
+                # seed the SINGLE-window floor too: group-precondition
+                # fallbacks and the -@N worker path still dispatch
+                # singles, and an unseeded floor would put them on a
+                # never-warmed shape (a 20-380 s per-process executable
+                # load on the dispatching thread)
+                _V3_HWM["Nb"] = max(_V3_HWM["Nb"], floor_nb)
             wins = []
             for k in range(group_k):
                 wins.append({"empty": False, "W": int(cfg.chunkSize),
@@ -2569,6 +2579,12 @@ def make_device_backend(cfg):
                              "ref_window": ref_p, "win_start": 0,
                              "woff_rel": -2})
             _fused_dispatch_v3_multi(cfg, wins, W_fixed)
+            # warm the single-window program as well (fallback path for
+            # group-precondition failures and -@N workers): one more
+            # fire-and-forget dummy dispatch, loaded here in the
+            # background instead of mid-run on a producer thread
+            _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
+                               np.zeros(n, bool), ref_p, 0, -2, W_fixed)
             return
         with _HWM_LOCK:
             _V3_HWM["Nb"] = max(_V3_HWM["Nb"], floor_nb)
