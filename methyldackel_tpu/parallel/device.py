@@ -2579,12 +2579,14 @@ def make_device_backend(cfg):
                              "ref_window": ref_p, "win_start": 0,
                              "woff_rel": -2})
             _fused_dispatch_v3_multi(cfg, wins, W_fixed)
-            # warm the single-window program as well (fallback path for
-            # group-precondition failures and -@N workers): one more
-            # fire-and-forget dummy dispatch, loaded here in the
-            # background instead of mid-run on a producer thread
-            _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
-                               np.zeros(n, bool), ref_p, 0, -2, W_fixed)
+            # Deliberately NOT also warming the single-window program:
+            # a second dispatch chain lengthens this daemon thread's life
+            # past run_extract's bounded join on short runs, and dying
+            # inside a client call at process exit aborts the process
+            # (rc=-6, observed once in the r5 hardware matrix). With every
+            # scheduler flush riding the group program, the single shape
+            # only serves rare precondition fallbacks, which tolerate the
+            # on-demand load.
             return
         with _HWM_LOCK:
             _V3_HWM["Nb"] = max(_V3_HWM["Nb"], floor_nb)
