@@ -249,9 +249,15 @@ def bench_e2e_fused(batch, ref_ascii, W, iters, batches=None, group_k=None):
         assert hs is not None and len(hs) == group_k
         return hs
 
+    # group_k == 1 still rides the group program (1-window group) unless
+    # MDTPU_BENCH_SINGLES=1: the production scheduler routes EVERY flush
+    # through the padded group program (candidate-space since round 5),
+    # so the bare-step number should measure that path.
+    use_group = (group_k > 1
+                 or os.environ.get("MDTPU_BENCH_SINGLES", "0") != "1")
     for i in range(len(pool)):  # compile + warm every shape bucket once
         dispatch(i).get()
-    if group_k > 1:
+    if use_group:
         for h in dispatch_group(0):  # warm the grouped program
             h.get()
     # Same structure as run_extract at -@ 1: the main thread preps +
@@ -273,7 +279,7 @@ def bench_e2e_fused(batch, ref_ascii, W, iters, batches=None, group_k=None):
     t0 = time.perf_counter()
     th = _threading.Thread(target=drain_loop)
     th.start()
-    if group_k > 1:
+    if use_group:
         n_groups = (iters + group_k - 1) // group_k
         for i in range(n_groups):
             for h in dispatch_group(i):

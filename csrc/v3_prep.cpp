@@ -213,6 +213,66 @@ int mdtpu_v3_refbits(const uint8_t* ref, int64_t ref_len, int64_t woff_rel,
   return 0;
 }
 
+// Candidate-SPACE 2-bit pack (round-5 wire shrink for the group window
+// program): instead of packing a read's full L bases into window
+// coordinates, emit ONLY the bases sitting on candidate reference
+// positions (the CTX-enabled context set the emit path can ever read,
+// _ctx_mask_np), indexed by candidate SLOT. Row r covers slots
+// [csum[fp0], csum[fp1]) where fp0/fp1 clamp [pos-win_start,
+// pos-win_start+L) to [0, wpad]; slot j's base offset within the read is
+// cand[s0+j] - f_pos (provably in [0, L)). Same 2-bit semantic codes as
+// mdtpu_v3_pack2 (1 = the strand's methylated base, 2 = unmethylated,
+// 0 = other/gated); seqpack rows are Lq bytes = 4*Lq slots and MUST be
+// zero-initialized by the caller. pos_p gets the GLOBAL slot coordinate
+// s0 + slot0 (slot0 = the window's offset in the group's candidate
+// coordinate space). The caller pre-checks that no row exceeds 4*Lq
+// candidates; the clamp here is defensive only.
+int mdtpu_v3_pack2_cand(const uint8_t* seq, const uint8_t* qual,
+                        const int64_t* src_rows, const int64_t* pos,
+                        const int32_t* strand, int64_t nf, int64_t L,
+                        int64_t Lq, int64_t win_start, int min_phred,
+                        const int64_t* cand, const int32_t* csum,
+                        int64_t wpad, int64_t slot0, uint8_t* seqpack,
+                        int32_t* pos_p, uint8_t* parity_p, int nthreads) {
+  if (!seq || !qual || !src_rows || !pos || !strand || !cand || !csum ||
+      !seqpack || !pos_p || !parity_p)
+    return -1;
+  if (Lq * 4 > 1024) return -2;
+  const uint8_t mp =
+      static_cast<uint8_t>(std::max(0, std::min(255, min_phred)));
+  const int64_t L4 = Lq * 4;
+  parallel_rows(nf, nthreads, [&](int64_t r) {
+    const int64_t i = src_rows[r];
+    const uint8_t* sq = seq + i * L;
+    const uint8_t* ql = qual + i * L;
+    const int p = strand[i] & 1;
+    const uint8_t meth = p ? 2 : 4;    // C : G
+    const uint8_t unmeth = p ? 8 : 1;  // T : A
+    const int64_t f_pos = pos[i] - win_start;
+    const int64_t fp0 = std::max<int64_t>(0, std::min(f_pos, wpad));
+    const int64_t fp1 = std::max<int64_t>(0, std::min(f_pos + L, wpad));
+    const int64_t s0 = csum[fp0];
+    int64_t cnt = csum[fp1] - s0;
+    if (cnt > L4) cnt = L4;
+    uint8_t v[1024];
+    for (int64_t j = 0; j < cnt; ++j) {
+      const int64_t off = cand[s0 + j] - f_pos;
+      const uint8_t c = (ql[off] >= mp) ? sq[off] : static_cast<uint8_t>(0);
+      v[j] = static_cast<uint8_t>((c == meth) + 2 * (c == unmeth));
+    }
+    for (int64_t j = cnt; j < L4; ++j) v[j] = 0;
+    uint8_t* out = seqpack + r * Lq;
+    for (int64_t k = 0; k < Lq; ++k) {
+      const uint8_t* q4 = v + 4 * k;
+      out[k] = static_cast<uint8_t>(q4[0] | (q4[1] << 2) | (q4[2] << 4) |
+                                    (q4[3] << 6));
+    }
+    pos_p[r] = static_cast<int32_t>(s0 + slot0);
+    parity_p[r] = static_cast<uint8_t>(p);
+  });
+  return 0;
+}
+
 // perRead v3 pack (engine/perread.py device path): per gapless source row
 // i = src_rows[r], emit 2-bit TALLY codes per read cycle j < lq:
 //   1 = methylated call, 2 = unmethylated call, 0 = no call

@@ -181,6 +181,19 @@ def _load():
             lib._has_v3b = True
         except AttributeError:
             lib._has_v3b = False
+        try:  # round 5: candidate-space group pack
+            lib.mdtpu_v3_pack2_cand.restype = ctypes.c_int
+            lib.mdtpu_v3_pack2_cand.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib._has_v3c = True
+        except AttributeError:
+            lib._has_v3c = False
         _LIB = lib
     except (OSError, AttributeError) as exc:
         # The artifact exists but can't be loaded (missing runtime dep, ABI
@@ -618,6 +631,47 @@ def v3_pack2(seq, qual, src_rows, pos, strand, Lq, nf_cap, win_start,
     if rc != 0:
         return None
     return seqpack, pos_p, parity_p
+
+
+def v3_pack2_cand(seq, qual, src_rows, pos, strand, Lq, win_start,
+                  min_phred, cand, csum, wpad, slot0, out):
+    """Candidate-space SEMANTIC 2-bit pack (csrc mdtpu_v3_pack2_cand):
+    row r's candidate slots [csum[fp0], csum[fp1]) get the read's 2-bit
+    codes at the candidate reference offsets; pos_p gets the global slot
+    coordinate csum[fp0] + slot0. `out` = (seqpack [*, Lq] u8, pos_p i32,
+    parity_p u8) zero-initialized C-contiguous destination views. Returns
+    True on success, None if the library isn't built (caller falls back
+    to the numpy twin)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_v3c", False):
+        return None
+    if not (seq.flags.c_contiguous and seq.dtype == np.uint8
+            and qual.flags.c_contiguous and qual.dtype == np.uint8):
+        return None
+    src_rows = np.ascontiguousarray(src_rows, np.int64)
+    pos = np.ascontiguousarray(pos, np.int64)
+    strand = np.ascontiguousarray(strand, np.int32)
+    cand = np.ascontiguousarray(cand, np.int64)
+    csum = np.ascontiguousarray(csum, np.int32)
+    n, L = seq.shape
+    nf = len(src_rows)
+    seqpack, pos_p, parity_p = out
+    assert seqpack.flags.c_contiguous and seqpack.shape[1] == Lq
+    assert pos_p.flags.c_contiguous and parity_p.flags.c_contiguous
+    assert len(csum) == wpad + 1
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.mdtpu_v3_pack2_cand(
+        ptr(seq), ptr(qual), ptr(src_rows), ptr(pos), ptr(strand), nf, L,
+        Lq, win_start, int(min_phred), ptr(cand), ptr(csum), int(wpad),
+        int(slot0), ptr(seqpack), ptr(pos_p), ptr(parity_p), _nthreads())
+    if rc != 0:
+        return None
+    return True
 
 
 def perread_pack(seq, qual, src_rows, pos, lq, strand, dirv, seq_start,

@@ -1197,7 +1197,28 @@ _HARD_DUMMIES: dict = {}
 # compiled programs (the first window sets the floor; at most one
 # escalation when a denser/taller window appears) instead of one per
 # power-of-two shape. Escalations monotonically raise the floor.
-_V3_HWM = {"Nb": 0, "GMAX": 0, "NH": 0, "NCAND": {}, "NCANDG": {}}
+_V3_HWM = {"Nb": 0, "GMAX": 0, "NH": 0, "NCAND": {}, "NCANDG": {},
+           # candidate-space group program floors (separate keys so the
+           # denser candidate-coordinate geometry never cross-mints bigger
+           # window-space shapes): NbC/GMAXC mirror Nb/GMAX, LC is the
+           # per-read candidate-slot width bucket, CSLOT the per-window
+           # candidate capacity bucket (keyed by wpad1 like NCAND)
+           "NbC": 0, "GMAXC": 0, "LC": 0, "CSLOT": {}}
+
+# Per-read candidate-slot width ladder (bytes*4): a 150 bp read over a
+# random genome covers ~19 CpG-context candidates (mean; CpG islands push
+# the window max to ~40-75), so most runs sit in the 32-64 buckets. A
+# window whose densest read exceeds 128 slots falls back to the
+# window-space group program.
+_LC_LADDER = (16, 32, 48, 64, 96, 128)
+
+
+def _lc_bucket(need: int, floor: int = 0) -> int:
+    need = max(need, floor, 1)
+    for b in _LC_LADDER:
+        if b >= need:
+            return b
+    return 0
 
 
 def _fused_dispatch_v3(cfg, seq, qual, refpos, pos, st,
@@ -1668,6 +1689,323 @@ def dispatch_window_group(cfg, items, pad_to=0, interpret=False):
             for k in range(n_real)]
 
 
+def _fused_dispatch_v3_multi_cand(cfg, wins, W_fixed, max_gmax=4096,
+                                  interpret=False):
+    """Candidate-SPACE variant of the group choreography (round-5 wire
+    shrink): every window's reads are re-coordinated on the host from
+    window positions to CANDIDATE SLOTS — the ~1/8-dense (CpG-only
+    default) CTX-enabled context positions that are the only coordinates
+    the emit path ever reads (the same _ctx_mask_np set the compacted
+    readback already uses). A 150 bp read covering ~19 candidates packs
+    into 8-16 bytes instead of 38, and the group's coordinate space
+    shrinks from Kw*(W+512) to Kw*CSLOT (~8x fewer kernel tiles), so both
+    tunnel directions and the device program shrink while the SAME
+    _fused_window_pregated2 program runs unchanged over the transformed
+    inputs (slot-space bitmaps carry each candidate's C/G-ness; the
+    kernel is position-agnostic). The readback is dense over the slot
+    space — the same bytes the NCAND-compacted window-space readback
+    ships — and finalize scatters slots back to window coordinates with
+    the host-side candidate index (no device mask twin needed: the mask
+    is computed once on host and used on both sides of this dispatch).
+
+    Cross-slot write bleed is harmless by construction: a read's row only
+    carries non-zero codes at its own window's candidates (csum bounds),
+    and zero codes accumulate into the code-0 counters no channel reads.
+
+    Returns finalize() like _fused_dispatch_v3_multi, or None (without
+    mutating `wins`) when ineligible — caller continues with the
+    window-space group path. Eligibility: every live window's candidate
+    count fits the CSLOT ladder (<= 5/8 of the window; extraordinary GC
+    falls back) and its densest read covers <= 128 candidate slots."""
+    from ..io import native
+    from ..ops import pileup_pallas as pk
+
+    live = [w for w in wins if not w["empty"]]
+    if not live:
+        return None
+    L = live[0]["seq"].shape[1]
+    T = 512
+    wpad1 = _round_up(W_fixed, T)
+    ref_static1 = wpad1 + 256
+    ctx = _ctx_code(cfg)
+    min_phred = int(cfg.minPhred)
+    Kw = len(wins)
+
+    # --- phase A: per-window candidate geometry (no mutation yet)
+    geo = [None] * Kw
+    maxC = 0
+    for k, w in enumerate(wins):
+        if w["empty"]:
+            continue
+        woff = int(w["woff_rel"])
+        if not (-512 <= woff <= 512):
+            return None
+        ref_p = np.zeros(ref_static1, np.uint8)
+        rw = np.asarray(w["ref_window"], np.uint8)
+        seqlen = min(len(rw), ref_static1)
+        ref_p[:seqlen] = rw[:seqlen]
+        rb = native.v3_refbits(ref_p, woff, wpad1)
+        if rb is None:
+            idx = np.arange(wpad1, dtype=np.int64) - woff
+            inr = (idx >= 0) & (idx < ref_static1)
+            rbw = np.where(inr, ref_p[np.clip(idx, 0, ref_static1 - 1)], 0)
+            rb = (np.packbits(rbw == REF_C), np.packbits(rbw == REF_G))
+        cb = np.unpackbits(rb[0])[:wpad1] != 0
+        gb = np.unpackbits(rb[1])[:wpad1] != 0
+        mask = _ctx_mask_np(cb, gb, ctx, wpad1)
+        cand = np.nonzero(mask)[0].astype(np.int64)
+        csum = np.zeros(wpad1 + 1, np.int32)
+        np.cumsum(mask, dtype=np.int32, out=csum[1:])
+        geo[k] = {"ref_p": ref_p, "cb": cb, "gb": gb, "cand": cand,
+                  "csum": csum, "woff": woff}
+        maxC = max(maxC, len(cand))
+
+    with _HWM_LOCK:
+        cfloor = _V3_HWM["CSLOT"].get(wpad1, 0) if not interpret else 0
+    CSLOT = _ncand_bucket(maxC, wpad1, cfloor)
+    if CSLOT == 0:
+        return None  # extraordinary GC: dense window-space path
+
+    # --- phase B: per-window slot-space row geometry + Lc bucket
+    per = [None] * Kw
+    n_tot = 0
+    maxcnt = 0
+    for k, w in enumerate(wins):
+        if w["empty"]:
+            continue
+        g = geo[k]
+        rows = np.nonzero(~w["xla_rows"])[0]
+        f_pos = (w["pos"][rows] - w["win_start"]).astype(np.int64)
+        fp0 = np.clip(f_pos, 0, wpad1)
+        fp1 = np.clip(f_pos + L, 0, wpad1)
+        s0 = g["csum"][fp0].astype(np.int64)
+        cnt = g["csum"][fp1].astype(np.int64) - s0
+        if len(cnt):
+            maxcnt = max(maxcnt, int(cnt.max()))
+        aligned = s0 - (s0 % 128)
+        order = np.argsort(aligned, kind="stable")
+        per[k] = {"src": rows[order], "f_pos": f_pos[order],
+                  "s0": s0[order], "cnt": cnt[order],
+                  "aligned": aligned[order], "row0": n_tot}
+        n_tot += len(rows)
+    with _HWM_LOCK:
+        lfloor = _V3_HWM["LC"] if not interpret else 0
+    Lc4 = _lc_bucket(maxcnt, lfloor)
+    if Lc4 == 0:
+        return None  # a read denser than 128 candidate slots
+
+    # --- group geometry in candidate-slot coordinates
+    Lq = Lc4 // 4
+    L4 = Lc4
+    LP = _round_up(max(L4, 128), 128)  # 128 for every ladder bucket
+    LP2 = _round_up(L4 + 127, 128)
+    HALO_L = LP + 128
+    K = (T + LP) // 128
+    P = _round_up(CSLOT, T)  # slot pitch (W_tot must tile by T)
+    W_tot = Kw * P
+    ntiles = W_tot // T
+    nbits_tot = W_tot // 8
+
+    if n_tot:
+        al_all = np.concatenate(
+            [p["aligned"] + k * P for k, p in enumerate(per)
+             if p is not None])
+    else:
+        al_all = np.zeros(0, np.int64)
+    bounds = (np.arange(ntiles)[:, None] * T - LP
+              + 128 * np.arange(K + 1)[None, :])
+    flat = np.searchsorted(al_all, bounds.reshape(-1), side="left")
+    flat = flat.reshape(ntiles, K + 1)
+    srtk = flat[:, :K].astype(np.int32).reshape(-1)
+    cntk = np.diff(flat, axis=1).astype(np.int32).reshape(-1)
+    gmax = int(cntk.max()) if len(cntk) else 0
+    with _HWM_LOCK:
+        GMAX = max(64, _V3_HWM["GMAXC"]) if not interpret else 64
+        while GMAX < gmax + 32:
+            GMAX *= 2
+        if GMAX > max_gmax:
+            return None
+        if interpret:
+            Nb = 256
+            while Nb < n_tot + GMAX:
+                Nb *= 2
+        else:
+            Nb = _nb_bucket(n_tot + GMAX, _V3_HWM["NbC"])
+            _V3_HWM["GMAXC"] = GMAX
+            _V3_HWM["NbC"] = Nb
+            _V3_HWM["CSLOT"][wpad1] = max(cfloor, CSLOT)
+            _V3_HWM["LC"] = max(lfloor, Lc4)
+
+    # --- phase C: pack rows into candidate space + slot bitmaps
+    # (mutating from here on: no fallback past this point)
+    seqpack = np.zeros((Nb, Lq), np.uint8)
+    pos_p = np.zeros(Nb, np.int32)
+    parity_p = np.zeros(Nb, np.uint8)
+    isc_all = np.zeros(nbits_tot, np.uint8)
+    isg_all = np.zeros(nbits_tot, np.uint8)
+    hard = [None] * Kw
+    cands = [None] * Kw
+    Ws = [w["W"] for w in wins]
+    for k, (w, p) in enumerate(zip(wins, per)):
+        if p is None:
+            continue
+        g = geo[k]
+        cand = g["cand"]
+        C = len(cand)
+        cands[k] = cand
+        n_k = len(p["src"])
+        r0 = p["row0"]
+        if n_k:
+            nat = None if interpret else native.v3_pack2_cand(
+                w["seq"], w["qual"], p["src"], w["pos"], w["st"], Lq,
+                w["win_start"], min_phred, cand, g["csum"], wpad1, k * P,
+                out=(seqpack[r0:r0 + n_k], pos_p[r0:r0 + n_k],
+                     parity_p[r0:r0 + n_k]))
+            if nat is None:
+                par = (w["st"][p["src"]] & 1).astype(np.uint8)
+                mc = np.where(par == 1, 2, 4).astype(np.uint8)[:, None]
+                uc = np.where(par == 1, 8, 1).astype(np.uint8)[:, None]
+                gq = np.where(w["qual"][p["src"]] >= min_phred,
+                              w["seq"][p["src"]], 0).astype(np.uint8)
+                v = np.where(gq == mc, 1,
+                             np.where(gq == uc, 2, 0)).astype(np.uint8)
+                vv = np.zeros((n_k, L4), np.uint8)
+                if C:
+                    j = np.arange(L4, dtype=np.int64)[None, :]
+                    slotpos = p["s0"][:, None] + j
+                    valid = j < p["cnt"][:, None]
+                    coff = (cand[np.minimum(slotpos, C - 1)]
+                            - p["f_pos"][:, None])
+                    coff = np.clip(coff, 0, L - 1)
+                    vv = np.where(
+                        valid,
+                        v[np.arange(n_k)[:, None], coff], 0).astype(
+                            np.uint8)
+                seqpack[r0:r0 + n_k] = (vv[:, 0::4] | (vv[:, 1::4] << 2)
+                                        | (vv[:, 2::4] << 4)
+                                        | (vv[:, 3::4] << 6))
+                pos_p[r0:r0 + n_k] = (p["s0"] + k * P).astype(np.int32)
+                parity_p[r0:r0 + n_k] = par
+        # slot-space bitmaps: slot j of window k is a C-site or G-site
+        if C:
+            sC = np.zeros(P, bool)
+            sG = np.zeros(P, bool)
+            sC[:C] = g["cb"][cand]
+            sG[:C] = g["gb"][cand]
+            isc_all[k * P // 8 : (k + 1) * P // 8] = np.packbits(sC)
+            isg_all[k * P // 8 : (k + 1) * P // 8] = np.packbits(sG)
+        hrows = np.nonzero(w["xla_rows"])[0]
+        if len(hrows):
+            hard[k] = (w["seq"][hrows].copy(), w["qual"][hrows].copy(),
+                       (w["refpos"][hrows] - w["win_start"]).astype(
+                           np.int64),
+                       w["st"][hrows].copy(), g["ref_p"], g["woff"])
+        w.clear()
+    del wins, live, per, geo
+
+    shp = ((pos_p % 128).astype(np.uint8)
+           | (parity_p << 7)).astype(np.uint8)
+    meta_i32 = np.concatenate([srtk, cntk])
+
+    def finalize_common(cm):
+        """cm: uint32 [2, W_tot] slot-space counters → per-window [W,4]
+        via the host candidate index (channels 2-3 stay zero: the NCH=2
+        readback contract), + host-oracle hard rows."""
+        outs = []
+        for k in range(Kw):
+            out = np.zeros((Ws[k], 4), np.uint32)
+            cand = cands[k]
+            if cand is not None and len(cand):
+                m = cand < Ws[k]
+                cw = cand[m]
+                out[cw, 0] = cm[0, k * P : k * P + len(cand)][m]
+                out[cw, 1] = cm[1, k * P : k * P + len(cand)][m]
+            if hard[k] is not None:
+                hseq, hqual, hrp, hst, ref_p, woff = hard[k]
+                hc = sem.pileup_channels(
+                    hseq, hqual, hrp, hst, np.ones(hseq.shape, bool),
+                    ref_p, woff, 0, wpad1, min_phred)
+                out[:, :2] += hc[: Ws[k], :2].astype(np.uint32)
+            outs.append(out)
+        return outs
+
+    if interpret:
+        # Numpy twin of the candidate-space program: same 2-bit unpack →
+        # barrel shift → tile kernel → slot-bitmap epilogue geometry on
+        # CPU, over the slot-space inputs.
+        codes = np.zeros((max(n_tot, 1), L4), np.uint8)
+        for s_i, sh_bits in enumerate((0, 2, 4, 6)):
+            codes[:, s_i::4] = (seqpack[:max(n_tot, 1)] >> sh_bits) & 3
+        sh = (pos_p[:n_tot] % 128).astype(np.int64)
+        seq_a = np.zeros((Nb, LP2), np.uint8)
+        if n_tot:
+            cols = sh[:, None] + np.arange(L4, dtype=np.int64)[None, :]
+            seq_a[np.arange(n_tot)[:, None], cols] = (
+                codes[:n_tot] | (parity_p[:n_tot, None] << 5))
+        tiles = pk._pileup_tiles_nq2_interpret(
+            srtk, cntk, seq_a, ntiles=ntiles, T=T, HALO_L=HALO_L, LP=LP,
+            LP2=LP2, K=K)
+        counts8 = tiles.transpose(1, 0, 2).reshape(8, W_tot)
+        is_c = np.unpackbits(isc_all)[:W_tot] != 0
+        is_g = np.unpackbits(isg_all)[:W_tot] != 0
+        meth = np.where(is_c, counts8[0], np.where(is_g, counts8[2], 0))
+        unmeth = np.where(is_c, counts8[1], np.where(is_g, counts8[3], 0))
+        cm_full = np.stack([meth, unmeth]).astype(np.uint32)
+        return lambda: finalize_common(cm_full)
+
+    import os as _os
+    import time as _time
+
+    profile = _os.environ.get("MDTPU_PROFILE_DISPATCH") == "1"
+    t0 = _time.perf_counter() if profile else 0.0
+    sat_bits = _V3_SAT["bits"]
+    blob_u8 = np.concatenate([seqpack.reshape(-1), shp, isc_all, isg_all])
+    hd = _HARD_DUMMIES.get(L)
+    if hd is None:
+        hd = tuple(jnp.asarray(a) for a in (
+            np.zeros((1, L), np.uint8), np.zeros((1, L), np.uint8),
+            np.full((1, L), -2, np.int32), np.ones(1, np.int32),
+            np.zeros(1, bool)))
+        _HARD_DUMMIES[L] = hd
+    statics = dict(Nb=Nb, Lq=Lq, LP2=LP2, L4=L4, ntiles=ntiles, T=T,
+                   HALO_L=HALO_L, LP=LP, K=K, GMAX=GMAX, W=W_tot,
+                   nbits=nbits_tot, ref_static=0, HAS_HARD=False,
+                   min_phred=min_phred, NCAND=0, CTX=0, SLOT=0)
+    args = (jnp.asarray(blob_u8), jnp.asarray(meta_i32), jnp.int32(0), *hd)
+    sel, overflow = _fused_window_pregated2(*args, SAT_BITS=sat_bits,
+                                            **statics)
+    try:
+        sel.copy_to_host_async()
+        overflow.copy_to_host_async()
+    except (AttributeError, RuntimeError):
+        pass
+    if profile:
+        t1 = _time.perf_counter()
+
+    def finalize():
+        if profile:
+            tf0 = _time.perf_counter()
+        sel_h, ovf_h = jax.device_get((sel, overflow))
+        if profile:
+            import sys as _sys
+
+            _sys.stderr.write(
+                f"[v3c] Kw={Kw} n={n_tot} Nb={Nb} Lc4={L4} P={P} "
+                f"GMAX={GMAX} dispatch={t1 - t0:.3f}s "
+                f"get={_time.perf_counter() - tf0:.3f}s "
+                f"up={blob_u8.nbytes + meta_i32.nbytes} "
+                f"down={np.asarray(sel_h).nbytes}\n")
+        if bool(ovf_h):
+            if sat_bits == 8:
+                _V3_SAT["bits"] = 16
+            cm = np.asarray(jax.device_get(
+                _fused_window_pregated2_wide(*args, **statics)))
+            return finalize_common(cm.astype(np.uint32))
+        return finalize_common(np.asarray(sel_h).astype(np.uint32))
+
+    return finalize
+
+
 def _fused_dispatch_v3_multi(cfg, wins, W_fixed, max_gmax=4096,
                              interpret=False):
     """Group choreography for dispatch_window_group: one v3 2-bit program
@@ -1680,6 +2018,8 @@ def _fused_dispatch_v3_multi(cfg, wins, W_fixed, max_gmax=4096,
     (ntiles, Nb, W, ...) statics — no new kernel code. Returns
     finalize() -> list of uint32 [W_k, 4] per window, or None (caller
     falls back to per-window dispatch)."""
+    import os as _os0
+
     from ..io import native
     from ..ops import pileup_pallas as pk
 
@@ -1687,6 +2027,14 @@ def _fused_dispatch_v3_multi(cfg, wins, W_fixed, max_gmax=4096,
     if not live:
         Ws = [w["W"] for w in wins]
         return lambda: [np.zeros((W, 4), np.uint32) for W in Ws]
+    if _os0.environ.get("MDTPU_CANDSPACE", "1") != "0":
+        fin = _fused_dispatch_v3_multi_cand(cfg, wins, W_fixed,
+                                            max_gmax=max_gmax,
+                                            interpret=interpret)
+        if fin is not None:
+            return fin
+        # ineligible (extraordinary GC / >128-candidate read / GMAX
+        # blowup): continue into the window-space group path below
     L = live[0]["seq"].shape[1]
     Lq = (L + 3) // 4
     L4 = 4 * Lq
@@ -2538,13 +2886,28 @@ def make_device_backend(cfg):
             W_tot = max(group_k, 1) * S
             bg = _ncand_bucket(
                 max(group_k, 1) * int(frac * wpad1 * 1.05) + 256, W_tot)
+            # Candidate-space floors: CSLOT is the same density-derived
+            # bucket as the single-window readback; LC comes from the
+            # densest read-length span in the sample (with margin — CpG
+            # islands cluster, and a mid-run Lc escalation costs one
+            # executable load on the producer thread).
+            mcs = np.zeros(len(rs) + 1, np.int64)
+            np.cumsum(m, out=mcs[1:])
+            lc_seed = 0
+            if len(rs) > L:
+                cnt_max = int((mcs[L:] - mcs[:-L]).max())
+                lc_seed = _lc_bucket(int(cnt_max * 1.25) + 2)
             with _HWM_LOCK:
                 if b1:
                     _V3_HWM["NCAND"][wpad1] = max(
                         _V3_HWM["NCAND"].get(wpad1, 0), b1)
+                    _V3_HWM["CSLOT"][wpad1] = max(
+                        _V3_HWM["CSLOT"].get(wpad1, 0), b1)
                 if bg:
                     _V3_HWM["NCANDG"][W_tot] = max(
                         _V3_HWM["NCANDG"].get(W_tot, 0), bg)
+                if lc_seed:
+                    _V3_HWM["LC"] = max(_V3_HWM["LC"], lc_seed)
         # Fire-and-forget: under axon, the dispatch alone triggers the
         # server-side compile/executable load; blocking on the readback
         # here would leave this thread inside a gRPC wait at process exit
@@ -2563,6 +2926,22 @@ def make_device_backend(cfg):
             with _HWM_LOCK:
                 _V3M_HWM["Nb"] = max(_V3M_HWM["Nb"], gfloor)
                 _V3_HWM["GMAX"] = max(_V3_HWM["GMAX"], 128)
+                # Candidate-space group floors: reads are ~8x denser per
+                # coordinate in slot space, so GMAXC scales with
+                # est_rows * 128 / CSLOT (x2 margin; a mid-run GMAX
+                # escalation mints a new program). Seed NbC so the dummy
+                # dispatch below warms the production candspace shape.
+                wpad1g = _round_up(W_fixed, 512)
+                cslot = _V3_HWM["CSLOT"].get(wpad1g, 0)
+                if cslot and est_rows:
+                    gme = 64
+                    while gme < (2 * est_rows * 128) // cslot + 32 \
+                            and gme < 4096:
+                        gme *= 2
+                    _V3_HWM["GMAXC"] = max(_V3_HWM["GMAXC"], gme)
+                    _V3_HWM["NbC"] = max(
+                        _V3_HWM["NbC"],
+                        _nb_bucket(group_k * est_rows + gme))
                 # seed the SINGLE-window floor too: group-precondition
                 # fallbacks and the -@N worker path still dispatch
                 # singles, and an unseeded floor would put them on a
