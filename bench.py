@@ -203,6 +203,27 @@ def bench_pallas(batch, ref_ascii, W, iters):
     return dt
 
 
+def blobify_qnames(b):
+    """Back the simulated batch's read names with the decoder's blob
+    layout (QnameView + vectorized hashes). The CLI's BAM decoder always
+    produces blob-backed names, so mate pairing runs the native
+    open-addressing kernel; a plain list of Python strings instead routes
+    pair_mates through string materialization (~50 ms per 100k-read
+    window, paid identically by BOTH engines here) — a cost the product
+    never pays. Blobifying keeps the step bench faithful to the
+    production hot path."""
+    from methyldackel_tpu.io.bam import QnameView, QnameSubset
+
+    names = list(b.qname)
+    blob = b"".join(q.encode() + b"\0" for q in names)
+    off = np.zeros(len(names) + 1, np.int64)
+    np.cumsum([len(q) + 1 for q in names], out=off[1:])
+    view = QnameView(blob, off)
+    b.qname = QnameSubset(view, np.arange(len(names), dtype=np.int64))
+    b.qname_hash = view.hashes()
+    return b
+
+
 def bench_e2e_fused(batch, ref_ascii, W, iters, batches=None, group_k=None):
     """The production window step in its production shape: everything the
     CLI pays per 1 Mb window — host prep (arbitration, phred pre-gate,
@@ -457,7 +478,7 @@ def main():
     # readback). The raw Pallas kernel number stays available as a mode.
     mode = os.environ.get("MDTPU_BENCH_MODE", "e2e")
     ref_ascii, ref_codes = random_reference(rng, W + 64)
-    batch = simulate_batch_fast(rng, ref_codes, n_pairs, L)
+    batch = blobify_qnames(simulate_batch_fast(rng, ref_codes, n_pairs, L))
 
     if mode == "xla":
         dt = bench_xla(batch, ref_ascii, W, iters)
@@ -468,19 +489,20 @@ def main():
         reads_per_s = batch.n / dt
         host_rps = host_baseline(batch, ref_ascii, W)
     else:
-        extra = [simulate_batch_fast(np.random.default_rng(s), ref_codes,
-                                     n_pairs, L) for s in (1, 2, 3)]
+        extra = [blobify_qnames(simulate_batch_fast(
+            np.random.default_rng(s), ref_codes, n_pairs, L))
+            for s in (1, 2, 3)]
         # INTERLEAVED device/host chunks with medians: this host's CPU
         # speed drifts 2-5x over minutes, so a device measurement and a
         # host baseline taken minutes apart are not comparable (the r4
         # ratio swung 0.77-1.17 on phase alone)
         # The step bench runs the device hot path at its measured-best
-        # dispatch shape, K=1 with deep concurrent readbacks — on this
-        # tunnel many small readbacks pipeline better than few big ones
-        # (full K sweep: artifacts/k_sweep_r05.json). The CLI engine
-        # keeps K=4: there the main thread's CPU is the contended
-        # resource and fewer dispatches win (measured, same artifact).
-        wk = int(os.environ.get("MDTPU_BENCH_WINDOW_K", "1"))
+        # dispatch shape: K=4 through the candidate-space group program
+        # (interleaved medians K=4 1.40x / K=2 1.38x / K=1 1.13x vs the
+        # host window step — K=1 groups pay the fixed RPC cost per
+        # window; full sweep: artifacts/k_sweep_r05.json). Matches the
+        # CLI's production K (MDTPU_BATCH_WINDOWS default 4).
+        wk = int(os.environ.get("MDTPU_BENCH_WINDOW_K", "4"))
         dev_rates, host_rates = [], []
         for _chunk in range(4):
             dt = bench_e2e_fused(batch, ref_ascii, W, max(4, iters // 2),

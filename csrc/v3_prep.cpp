@@ -213,6 +213,45 @@ int mdtpu_v3_refbits(const uint8_t* ref, int64_t ref_len, int64_t woff_rel,
   return 0;
 }
 
+// Candidate mask + prefix sums + index list for the candidate-space pack:
+// position i is a candidate iff its CTX-selected reference context
+// matches (bit 0 = CpG, 1 = CHG, 2 = CHH; 7 = every C/G), where guard
+// positions (i < 2 or i >= wpad - 8) keep the full C|G rule — their
+// context can depend on reference bases outside the bitmap domain. MUST
+// stay bit-for-bit identical to parallel/device._ctx_mask_np for the
+// single-window case (period == data == wpad); tests/test_candspace.py
+// pins the twin. isc/isg are np.packbits-order (MSB-first) bitmaps.
+// out_cand: int64 capacity >= wpad; out_csum: int32[wpad + 1]. Returns
+// the candidate count, or -1 on bad args.
+int64_t mdtpu_v3_candidates(const uint8_t* isc, const uint8_t* isg,
+                            int64_t wpad, int ctx, int64_t* out_cand,
+                            int32_t* out_csum) {
+  if (!isc || !isg || !out_cand || !out_csum || wpad % 8) return -1;
+  auto bit = [](const uint8_t* b, int64_t i) -> int {
+    return (b[i >> 3] >> (7 - (i & 7))) & 1;
+  };
+  int64_t c = 0;
+  out_csum[0] = 0;
+  for (int64_t i = 0; i < wpad; ++i) {
+    const int cb = bit(isc, i), gb = bit(isg, i);
+    int m;
+    if (ctx == 7 || i < 2 || i >= wpad - 8) {
+      m = cb | gb;
+    } else {
+      const int g1 = bit(isg, i + 1), g2 = bit(isg, i + 2);
+      const int c1 = bit(isc, i - 1), c2 = bit(isc, i - 2);
+      m = 0;
+      if (ctx & 1) m |= (cb & g1) | (gb & c1);
+      if (ctx & 2) m |= (cb & ~g1 & g2) | (gb & ~c1 & c2);
+      if (ctx & 4) m |= (cb & ~g1 & ~g2) | (gb & ~c1 & ~c2);
+      m &= 1;
+    }
+    if (m) out_cand[c++] = i;
+    out_csum[i + 1] = static_cast<int32_t>(c);
+  }
+  return c;
+}
+
 // Candidate-SPACE 2-bit pack (round-5 wire shrink for the group window
 // program): instead of packing a read's full L bases into window
 // coordinates, emit ONLY the bases sitting on candidate reference

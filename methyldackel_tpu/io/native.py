@@ -191,6 +191,11 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ]
+            lib.mdtpu_v3_candidates.restype = ctypes.c_int64
+            lib.mdtpu_v3_candidates.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ]
             lib._has_v3c = True
         except AttributeError:
             lib._has_v3c = False
@@ -672,6 +677,31 @@ def v3_pack2_cand(seq, qual, src_rows, pos, strand, Lq, win_start,
     if rc != 0:
         return None
     return True
+
+
+def v3_candidates(isc, isg, wpad, ctx):
+    """Candidate mask + prefix sums + index list (csrc
+    mdtpu_v3_candidates; _ctx_mask_np twin for period == data == wpad).
+    Returns (cand int64 [C], csum int32 [wpad+1]) or None if the library
+    isn't built."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_v3c", False) or wpad % 8:
+        return None
+    isc = np.ascontiguousarray(isc, np.uint8)
+    isg = np.ascontiguousarray(isg, np.uint8)
+    cand = np.empty(wpad, np.int64)
+    csum = np.empty(wpad + 1, np.int32)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    c = lib.mdtpu_v3_candidates(ptr(isc), ptr(isg), int(wpad), int(ctx),
+                                ptr(cand), ptr(csum))
+    if c < 0:
+        return None
+    return cand[:c], csum
 
 
 def perread_pack(seq, qual, src_rows, pos, lq, strand, dirv, seq_start,

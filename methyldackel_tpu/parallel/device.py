@@ -1750,13 +1750,17 @@ def _fused_dispatch_v3_multi_cand(cfg, wins, W_fixed, max_gmax=4096,
             inr = (idx >= 0) & (idx < ref_static1)
             rbw = np.where(inr, ref_p[np.clip(idx, 0, ref_static1 - 1)], 0)
             rb = (np.packbits(rbw == REF_C), np.packbits(rbw == REF_G))
-        cb = np.unpackbits(rb[0])[:wpad1] != 0
-        gb = np.unpackbits(rb[1])[:wpad1] != 0
-        mask = _ctx_mask_np(cb, gb, ctx, wpad1)
-        cand = np.nonzero(mask)[0].astype(np.int64)
-        csum = np.zeros(wpad1 + 1, np.int32)
-        np.cumsum(mask, dtype=np.int32, out=csum[1:])
-        geo[k] = {"ref_p": ref_p, "cb": cb, "gb": gb, "cand": cand,
+        nat_cand = native.v3_candidates(rb[0], rb[1], wpad1, ctx)
+        if nat_cand is not None:
+            cand, csum = nat_cand
+        else:
+            cb = np.unpackbits(rb[0])[:wpad1] != 0
+            gb = np.unpackbits(rb[1])[:wpad1] != 0
+            mask = _ctx_mask_np(cb, gb, ctx, wpad1)
+            cand = np.nonzero(mask)[0].astype(np.int64)
+            csum = np.zeros(wpad1 + 1, np.int32)
+            np.cumsum(mask, dtype=np.int32, out=csum[1:])
+        geo[k] = {"ref_p": ref_p, "rb": rb, "cand": cand,
                   "csum": csum, "woff": woff}
         maxC = max(maxC, len(cand))
 
@@ -1783,10 +1787,16 @@ def _fused_dispatch_v3_multi_cand(cfg, wins, W_fixed, max_gmax=4096,
         if len(cnt):
             maxcnt = max(maxcnt, int(cnt.max()))
         aligned = s0 - (s0 % 128)
-        order = np.argsort(aligned, kind="stable")
-        per[k] = {"src": rows[order], "f_pos": f_pos[order],
-                  "s0": s0[order], "cnt": cnt[order],
-                  "aligned": aligned[order], "row0": n_tot}
+        # coordinate-sorted windows give nondecreasing f_pos → s0 →
+        # aligned; the stable argsort (~7 ms / 100k rows) is then a no-op
+        if len(aligned) < 2 or bool((aligned[1:] >= aligned[:-1]).all()):
+            per[k] = {"src": rows, "f_pos": f_pos, "s0": s0, "cnt": cnt,
+                      "aligned": aligned, "row0": n_tot}
+        else:
+            order = np.argsort(aligned, kind="stable")
+            per[k] = {"src": rows[order], "f_pos": f_pos[order],
+                      "s0": s0[order], "cnt": cnt[order],
+                      "aligned": aligned[order], "row0": n_tot}
         n_tot += len(rows)
     with _HWM_LOCK:
         lfloor = _V3_HWM["LC"] if not interpret else 0
@@ -1887,11 +1897,14 @@ def _fused_dispatch_v3_multi_cand(cfg, wins, W_fixed, max_gmax=4096,
                 pos_p[r0:r0 + n_k] = (p["s0"] + k * P).astype(np.int32)
                 parity_p[r0:r0 + n_k] = par
         # slot-space bitmaps: slot j of window k is a C-site or G-site
+        # (bit-extract at the C candidate coords only — no full unpack)
         if C:
+            rb0, rb1 = g["rb"]
+            sh7 = (7 - (cand & 7)).astype(np.int64)
             sC = np.zeros(P, bool)
             sG = np.zeros(P, bool)
-            sC[:C] = g["cb"][cand]
-            sG[:C] = g["gb"][cand]
+            sC[:C] = ((rb0[cand >> 3] >> sh7) & 1) != 0
+            sG[:C] = ((rb1[cand >> 3] >> sh7) & 1) != 0
             isc_all[k * P // 8 : (k + 1) * P // 8] = np.packbits(sC)
             isg_all[k * P // 8 : (k + 1) * P // 8] = np.packbits(sG)
         hrows = np.nonzero(w["xla_rows"])[0]

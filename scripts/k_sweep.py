@@ -30,9 +30,12 @@ def main():
     W = 1 << 20
     L = 150
     ref_ascii, ref_codes = random_reference(rng, W + 64)
-    batch = simulate_batch_fast(rng, ref_codes, n_pairs, L)
-    extra = [simulate_batch_fast(np.random.default_rng(s), ref_codes,
-                                 n_pairs, L) for s in (1, 2, 3)]
+    from bench import blobify_qnames
+
+    batch = blobify_qnames(simulate_batch_fast(rng, ref_codes, n_pairs, L))
+    extra = [blobify_qnames(simulate_batch_fast(
+        np.random.default_rng(s), ref_codes, n_pairs, L))
+        for s in (1, 2, 3)]
 
     rows = []
     host_rps = host_baseline(batch, ref_ascii, W)

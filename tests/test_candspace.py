@@ -188,3 +188,29 @@ def test_candspace_off_switch_matches(monkeypatch):
     for k in range(3):
         cand = _emit_read_positions(cfg, items2[k])
         np.testing.assert_array_equal(on[k][cand, :2], off[k][cand, :2])
+
+
+def test_native_candidates_matches_ctx_mask_np():
+    """mdtpu_v3_candidates must be bit-for-bit _ctx_mask_np (single-window
+    period == data case) for every ctx value over adversarial bitmaps."""
+    lib = native._load()
+    if lib is None or not getattr(lib, "_has_v3c", False):
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(23)
+    wpad = 5632
+    for density in (0.0, 0.05, 0.5, 1.0):
+        cb = rng.random(wpad) < density
+        gb = (rng.random(wpad) < density) & ~cb
+        isc = np.packbits(cb)
+        isg = np.packbits(gb)
+        for ctx in range(8):
+            got = native.v3_candidates(isc, isg, wpad, ctx)
+            assert got is not None
+            cand_n, csum_n = got
+            mask = dev._ctx_mask_np(cb, gb, ctx, wpad)
+            cand_p = np.nonzero(mask)[0]
+            np.testing.assert_array_equal(
+                cand_n, cand_p, err_msg=f"ctx={ctx} density={density}")
+            csum_p = np.zeros(wpad + 1, np.int32)
+            np.cumsum(mask, dtype=np.int32, out=csum_p[1:])
+            np.testing.assert_array_equal(csum_n, csum_p)
