@@ -578,7 +578,17 @@ def run_extract(cfg, out_streams, compute_backend=None) -> int:
                 # and onto the slow dense path; long-read windows can mint
                 # their own (rare) shape buckets instead
                 global_L = None
-        if prewarm_fn is not None and global_L \
+        # Tiny inputs finish before a background compile could ever help,
+        # and a prewarm thread still inside a client call when the process
+        # exits can abort it (rc=-6 "AxonClient not initialized" panic in
+        # the plugin's remote loop — observed on the 40k-read validation
+        # scenario); the bounded join below can't cover a 20-220 s tunnel
+        # compile. Skip the prewarm entirely below a read-count floor.
+        prewarm_min = int(_os.environ.get("MDTPU_PREWARM_MIN_READS",
+                                          "200000"))
+        _nr = getattr(bam, "n_reads", None)
+        _known_small = _nr is not None and 0 < int(_nr) < prewarm_min
+        if prewarm_fn is not None and global_L and not _known_small \
                 and _os.environ.get("MDTPU_PREWARM", "1") != "0":
             # expected reads per window ≈ n_reads * (chunk + L) / genome
             glen = max(1, sum(getattr(hdr, "lengths", []) or [1]))
